@@ -1,0 +1,97 @@
+"""Crop-and-resize / multilevel ROIAlign vs scipy bilinear oracle."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import map_coordinates
+
+from caesar_mrcnn_tpu.ops.roi_align import (
+    crop_and_resize,
+    multilevel_roi_align,
+    roi_levels,
+)
+
+
+def _oracle_crop(image, box, size):
+    """tf.image.crop_and_resize oracle via scipy (order-1 spline = bilinear)."""
+    h, w = image.shape[:2]
+    ph, pw = size
+    y1, x1, y2, x2 = box
+    if ph > 1:
+        ys = y1 * (h - 1) + np.arange(ph) * (y2 - y1) * (h - 1) / (ph - 1)
+    else:
+        ys = np.array([0.5 * (y1 + y2) * (h - 1)])
+    if pw > 1:
+        xs = x1 * (w - 1) + np.arange(pw) * (x2 - x1) * (w - 1) / (pw - 1)
+    else:
+        xs = np.array([0.5 * (x1 + x2) * (w - 1)])
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    out = np.stack(
+        [
+            map_coordinates(image[..., c], [yy, xx], order=1, mode="constant", cval=0.0)
+            for c in range(image.shape[-1])
+        ],
+        axis=-1,
+    )
+    return out
+
+
+@pytest.mark.parametrize("pool", [1, 7, 14])
+def test_crop_and_resize_matches_oracle(pool):
+    rng = np.random.RandomState(3)
+    image = rng.randn(32, 40, 8).astype(np.float32)
+    boxes = np.array(
+        [
+            [0.0, 0.0, 1.0, 1.0],
+            [0.1, 0.2, 0.5, 0.8],
+            [0.45, 0.3, 0.55, 0.35],
+            [0.0, 0.0, 0.0, 0.0],  # degenerate box: samples single point
+        ],
+        dtype=np.float32,
+    )
+    out = np.asarray(crop_and_resize(image, boxes, (pool, pool)))
+    for i, b in enumerate(boxes):
+        exp = _oracle_crop(image, b, (pool, pool))
+        np.testing.assert_allclose(out[i], exp, atol=1e-4, err_msg=f"box {i}")
+
+
+def test_roi_levels():
+    # image 256x256; a tiny box -> P2 (level 0), a full-image box -> P5 (level 3)
+    boxes = np.array(
+        [
+            [0.0, 0.0, 0.05, 0.05],
+            [0.0, 0.0, 1.0, 1.0],
+            [0.0, 0.0, 0.9, 0.9],
+        ],
+        dtype=np.float32,
+    )
+    lv = np.asarray(roi_levels(boxes, 256.0 * 256.0))
+    assert lv[0] == 0
+    assert lv[1] >= lv[2] >= lv[0]
+    # formula check for middle box: sqrt(hw)=1.0*255... use normalized:
+    # scale = sqrt(1.0)/ (224/256) -> log2(1.1428)=0.19 -> round 0 -> level 4 -> idx 2
+    assert lv[1] == 2
+
+
+def test_multilevel_matches_single_level():
+    """Boxes assigned to one level must pool identically to plain
+    crop_and_resize on that level's map."""
+    rng = np.random.RandomState(7)
+    feats = [rng.randn(64 // (2 ** i), 64 // (2 ** i), 16).astype(np.float32) for i in range(4)]
+    image_shape = (256, 256)
+    boxes = np.array(
+        [
+            [0.1, 0.1, 0.14, 0.15],   # small -> P2
+            [0.2, 0.2, 0.95, 0.9],    # large -> higher level
+            [0.0, 0.0, 0.0, 0.0],     # zero padding box
+        ],
+        dtype=np.float32,
+    )
+    pooled = np.asarray(multilevel_roi_align(feats, boxes, image_shape, 7))
+    lv = np.asarray(roi_levels(boxes, float(image_shape[0] * image_shape[1])))
+    for i, b in enumerate(boxes):
+        exp = np.asarray(crop_and_resize(feats[lv[i]], b[None], (7, 7)))[0]
+        np.testing.assert_allclose(pooled[i], exp, atol=1e-4, err_msg=f"box {i} level {lv[i]}")
+    # zero box pools the top-left corner point of its level only — just
+    # check shape & finiteness
+    assert pooled.shape == (3, 7, 7, 16)
+    assert np.isfinite(pooled).all()

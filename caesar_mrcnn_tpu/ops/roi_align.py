@@ -27,10 +27,16 @@ import numpy as np
 
 def _sample_coords(lo, hi, extent_minus_1, n: int):
     """Crop-and-resize sample positions along one axis. lo/hi scalar
-    normalized coords; returns [n] float positions in pixel units."""
+    normalized coords; returns [n] float positions in pixel units.
+
+    Uses an exact-endpoint linspace form so the last sample of a box that
+    touches the image border lands exactly on ``extent-1`` (a naive
+    ``i * step`` accumulates float error past the border and would be
+    masked to zero).
+    """
     if n > 1:
-        step = (hi - lo) * extent_minus_1 / (n - 1)
-        return lo * extent_minus_1 + jnp.arange(n, dtype=jnp.float32) * step
+        t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
+        return (lo + (hi - lo) * t) * extent_minus_1
     return 0.5 * (lo + hi) * extent_minus_1 * jnp.ones((1,), dtype=jnp.float32)
 
 

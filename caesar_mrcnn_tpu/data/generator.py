@@ -1,0 +1,225 @@
+"""Training data pipeline: load_image_gt + static-shape batch assembly +
+threaded device prefetch.
+
+Re-design of the reference generator (reference: mrcnn/model.py:1273-1904):
+
+* :func:`load_image_gt` — load + resize + augment + (mini)mask + meta
+  (reference: mrcnn/model.py:1277-1377);
+* :class:`TrainingPipeline` — infinite shuffled iterator with RPN target
+  building, GT subsampling to MAX_GT_INSTANCES, skip-on-error budget of 5
+  (reference: mrcnn/model.py:1896-1904), a worker thread pool replacing
+  ``fit_generator``'s multiprocessing, and a double-buffered
+  ``jax.device_put`` prefetch queue.
+
+All outputs are statically shaped (GT padded to MAX_GT_INSTANCES, RPN
+targets anchor-aligned), matching the device-side pad+mask convention.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .. import logger
+from ..config import Config
+from ..models.meta import compose_image_meta
+from ..models.targets import build_rpn_targets
+from ..utils import boxes as B
+from ..utils import image as I
+from ..utils.anchors import generate_pyramid_anchors
+from .augment import augment_image_and_mask
+from .dataset import Dataset
+
+
+def load_image_gt(
+    dataset: Dataset,
+    config: Config,
+    image_id: int,
+    augmentation: bool = False,
+    use_mini_mask: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Load one image + GT (reference: mrcnn/model.py:1277-1377).
+
+    Returns (image, image_meta, class_ids, bbox, mask) — all unpadded.
+    """
+    rng = rng or np.random.RandomState()
+    image = dataset.load_image(image_id)
+    mask, class_ids = dataset.load_mask(image_id)
+    original_shape = image.shape
+    image, window, scale, padding, crop = I.resize_image(
+        image,
+        min_dim=config.image_min_dim,
+        min_scale=config.image_min_scale,
+        max_dim=config.image_max_dim,
+        mode=config.image_resize_mode,
+    )
+    mask = I.resize_mask(mask, scale, padding, crop)
+
+    if augmentation:
+        image, mask = augment_image_and_mask(image, mask, rng)
+
+    # Drop instances whose mask vanished (reference: mrcnn/model.py:1352-1356)
+    idx = np.sum(mask, axis=(0, 1)) > 0
+    mask = mask[:, :, idx]
+    class_ids = class_ids[idx]
+    bbox = B.extract_bboxes(mask)
+
+    active_class_ids = np.zeros([dataset.num_classes], dtype=np.int32)
+    source_class_ids = dataset.source_class_ids[dataset.image_info[image_id]["source"]]
+    active_class_ids[source_class_ids] = 1
+
+    if use_mini_mask and len(class_ids):
+        mask = I.minimize_mask(bbox, mask, config.mini_mask_shape)
+
+    image_meta = compose_image_meta(
+        image_id, original_shape, image.shape, window, scale, active_class_ids
+    )
+    return image, image_meta, class_ids, bbox, mask
+
+
+class TrainingPipeline:
+    """Infinite batched sample stream with static shapes."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        config: Config,
+        shuffle: bool = True,
+        augmentation: bool = False,
+        seed: Optional[int] = None,
+        num_workers: int = 0,
+        max_queue: int = 16,
+    ):
+        self.dataset = dataset
+        self.config = config
+        self.shuffle = shuffle
+        self.augmentation = augmentation
+        self.rng = np.random.RandomState(seed)
+        self.num_workers = num_workers
+        self.max_queue = max_queue
+        shapes = config.backbone_shapes
+        self.anchors = generate_pyramid_anchors(
+            config.rpn_anchor_scales,
+            config.rpn_anchor_ratios,
+            shapes,
+            config.backbone_strides,
+            config.rpn_anchor_stride,
+        )
+        self.mask_hw = (
+            tuple(config.mini_mask_shape)
+            if config.use_mini_mask
+            else tuple(config.image_shape[:2])
+        )
+
+    # ------------------------------------------------------------- sample
+    def make_sample(self, image_id: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        image, meta, class_ids, bbox, mask = load_image_gt(
+            self.dataset,
+            cfg,
+            image_id,
+            augmentation=self.augmentation,
+            use_mini_mask=cfg.use_mini_mask,
+            rng=self.rng,
+        )
+        rpn_match, rpn_deltas = build_rpn_targets(
+            self.anchors, class_ids, bbox, cfg, self.rng
+        )
+
+        # Subsample GT to the budget (reference: mrcnn/model.py:1831-1837)
+        g = cfg.max_gt_instances
+        if class_ids.shape[0] > g:
+            ids = self.rng.choice(np.arange(class_ids.shape[0]), g, replace=False)
+            class_ids = class_ids[ids]
+            bbox = bbox[ids]
+            mask = mask[:, :, ids]
+
+        # Pad to static shapes; boxes normalized for the device graph
+        h, w = cfg.image_shape[:2]
+        gt_ids = np.zeros((g,), np.int32)
+        gt_boxes = np.zeros((g, 4), np.float32)
+        mh, mw = self.mask_hw
+        gt_masks = np.zeros((mh, mw, g), np.float32)
+        n = class_ids.shape[0]
+        if n:
+            gt_ids[:n] = class_ids
+            gt_boxes[:n] = B.norm_boxes(bbox.astype(np.float32), (h, w))
+            gt_masks[:, :, :n] = mask.astype(np.float32)
+
+        molded = I.mold_image(image, cfg.mean_pixel)
+        return {
+            "images": molded.astype(np.float32),
+            "image_meta": meta.astype(np.float32),
+            "rpn_match": rpn_match.astype(np.int32),
+            "rpn_deltas": rpn_deltas.astype(np.float32),
+            "gt_class_ids": gt_ids,
+            "gt_boxes": gt_boxes,
+            "gt_masks": gt_masks,
+        }
+
+    # -------------------------------------------------------------- batches
+    def _id_stream(self) -> Iterator[int]:
+        ids = np.copy(self.dataset.image_ids)
+        while True:
+            if self.shuffle:
+                self.rng.shuffle(ids)
+            yield from ids
+
+    def batches(self, batch_size: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite batch iterator with a skip-on-error budget of 5
+        (reference: mrcnn/model.py:1896-1904)."""
+        bs = batch_size or self.config.batch_size
+        stream = self._id_stream()
+        error_count = 0
+        while True:
+            batch = []
+            while len(batch) < bs:
+                image_id = next(stream)
+                try:
+                    batch.append(self.make_sample(image_id))
+                    error_count = 0
+                except Exception as e:  # noqa: BLE001
+                    logger.exception(
+                        "Error processing image %s", self.dataset.image_reference(image_id)
+                    )
+                    error_count += 1
+                    if error_count > 5:
+                        raise
+            yield {k: np.stack([s[k] for s in batch]) for k in batch[0]}
+
+    def prefetch(
+        self, batch_size: Optional[int] = None, device_put: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Background-thread prefetch (replaces fit_generator workers,
+        reference: mrcnn/model.py:2487-2498) with optional eager
+        host->device transfer for compute/transfer overlap."""
+        import jax
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in self.batches(batch_size):
+                    if stop.is_set():
+                        return
+                    if device_put:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            except Exception as e:  # noqa: BLE001
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,98 @@
+"""Final detection refinement: class assignment, box refinement, per-class
+NMS, top-k — fully static shapes.
+
+Re-design of the reference DetectionLayer/refine_detections_graph
+(reference: mrcnn/model.py:766-909). Instead of ``tf.unique`` +
+``tf.map_fn`` over dynamically-discovered class ids, we run the static NMS
+kernel once per (known) foreground class with score-masking — identical
+results, fixed shapes, and the per-class passes batch cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import nms_padded
+from ..utils.boxes import apply_box_deltas_jax, clip_boxes_jax
+
+
+def refine_detections_single(
+    rois: jnp.ndarray,       # [R, 4] normalized, zero-padded
+    probs: jnp.ndarray,      # [R, num_classes]
+    deltas: jnp.ndarray,     # [R, num_classes, 4]
+    window: jnp.ndarray,     # [4] normalized (y1, x1, y2, x2)
+    bbox_std_dev: jnp.ndarray,
+    num_classes: int,
+    max_instances: int,
+    min_confidence: float,
+    nms_threshold: float,
+) -> jnp.ndarray:
+    """Returns detections [max_instances, 6] = (y1, x1, y2, x2, class, score),
+    zero-padded (class==0 marks padding, like the reference)."""
+    r = rois.shape[0]
+    class_ids = jnp.argmax(probs, axis=1)
+    class_scores = jnp.take_along_axis(probs, class_ids[:, None], axis=1)[:, 0]
+    deltas_specific = jnp.take_along_axis(
+        deltas, class_ids[:, None, None].repeat(4, axis=2), axis=1
+    )[:, 0]
+    refined = apply_box_deltas_jax(rois, deltas_specific * bbox_std_dev)
+    refined = clip_boxes_jax(refined, window)
+
+    roi_valid = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]) > 0
+    keep = roi_valid & (class_ids > 0)
+    if min_confidence:
+        keep = keep & (class_scores >= min_confidence)
+
+    # Per-class NMS over known foreground classes (static unroll — the
+    # class count is small and fixed).
+    kept_any = jnp.zeros((r,), dtype=bool)
+    for cls in range(1, num_classes):
+        cls_mask = keep & (class_ids == cls)
+        cls_scores = jnp.where(cls_mask, class_scores, -jnp.inf)
+        idx, valid = nms_padded(refined, cls_scores, max_instances, nms_threshold)
+        kept_cls = jnp.zeros((r,), dtype=bool).at[idx].set(valid)
+        kept_any = kept_any | kept_cls
+
+    # Top max_instances by score among survivors.
+    final_scores = jnp.where(kept_any, class_scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(final_scores, max_instances)
+    top_valid = top_scores > -jnp.inf
+    det = jnp.concatenate(
+        [
+            refined[top_idx],
+            class_ids[top_idx, None].astype(jnp.float32),
+            class_scores[top_idx, None],
+        ],
+        axis=1,
+    )
+    return jnp.where(top_valid[:, None], det, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "max_instances", "min_confidence", "nms_threshold"),
+)
+def refine_detections(
+    rois: jnp.ndarray,       # [B, R, 4]
+    probs: jnp.ndarray,      # [B, R, C]
+    deltas: jnp.ndarray,     # [B, R, C, 4]
+    windows: jnp.ndarray,    # [B, 4] normalized
+    bbox_std_dev: jnp.ndarray,
+    num_classes: int,
+    max_instances: int,
+    min_confidence: float,
+    nms_threshold: float,
+) -> jnp.ndarray:
+    fn = functools.partial(
+        refine_detections_single,
+        bbox_std_dev=bbox_std_dev,
+        num_classes=num_classes,
+        max_instances=max_instances,
+        min_confidence=min_confidence,
+        nms_threshold=nms_threshold,
+    )
+    return jax.vmap(fn)(rois, probs, deltas, windows)

@@ -1,0 +1,284 @@
+"""Mask R-CNN assembly: modules + pure forward functions.
+
+Re-design of the reference's monolithic Keras graph builder
+(reference: mrcnn/model.py:1917-2166) as a flax module tree plus pure
+orchestration functions. Key idiom changes for TPU:
+
+* ``vmap`` everywhere the reference used ``utils.batch_slice``;
+* static padded shapes + validity masks instead of dynamic ``tf.where``;
+* ROIAlign/NMS are the XLA kernels from ``caesar_mrcnn_tpu.ops``;
+* anchors enter as a plain array argument (no tf.Variable hack,
+  cf. reference: mrcnn/model.py:2034-2035).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.roi_align import multilevel_roi_align
+from .backbone import FPN, ResNet
+from .detection import refine_detections
+from .heads import ClassifierHead, MaskHead
+from .meta import parse_image_meta_jax
+from .proposals import generate_proposals
+from .rpn import RPNHead
+from .targets import detection_targets_batch
+
+
+def _dtype(config: Config):
+    return jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+
+
+class MaskRCNN(nn.Module):
+    """Module tree holding all trainable submodules."""
+
+    config: Config
+
+    def setup(self):
+        cfg = self.config
+        dt = _dtype(cfg)
+        self.backbone = ResNet(cfg.backbone, train_bn=cfg.train_bn, dtype=dt)
+        self.fpn = FPN(cfg.top_down_pyramid_size, dtype=dt)
+        self.rpn_head = RPNHead(
+            anchors_per_location=len(cfg.rpn_anchor_ratios),
+            anchor_stride=cfg.rpn_anchor_stride,
+            dtype=dt,
+        )
+        self.classifier_head = ClassifierHead(
+            num_classes=cfg.num_classes,
+            pool_size=cfg.pool_size,
+            fc_size=cfg.fpn_classif_fc_layers_size,
+            train_bn=cfg.train_bn,
+            dtype=dt,
+        )
+        self.mask_head = MaskHead(
+            num_classes=cfg.num_classes, train_bn=cfg.train_bn, dtype=dt
+        )
+
+    # ------------------------------------------------------------- methods
+    def features(self, images: jnp.ndarray, train: bool = False):
+        """images [B, H, W, C] -> (P2, P3, P4, P5, P6)."""
+        c2, c3, c4, c5 = self.backbone(images, train)
+        return self.fpn(c2, c3, c4, c5)
+
+    def rpn(self, pyramid: Sequence[jnp.ndarray]):
+        """Apply the shared RPN to every level; concat along anchors."""
+        outs = [self.rpn_head(p) for p in pyramid]
+        logits = jnp.concatenate([o[0] for o in outs], axis=1)
+        probs = jnp.concatenate([o[1] for o in outs], axis=1)
+        bbox = jnp.concatenate([o[2] for o in outs], axis=1)
+        return logits, probs, bbox
+
+    def classifier(self, pooled: jnp.ndarray, train: bool = False):
+        """pooled [B, R, p, p, C] -> (logits, probs, deltas) [B, R, ...]."""
+        b, r = pooled.shape[:2]
+        flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        logits, probs, deltas = self.classifier_head(flat, train)
+        return (
+            logits.reshape(b, r, -1),
+            probs.reshape(b, r, -1),
+            deltas.reshape(b, r, self.config.num_classes, 4),
+        )
+
+    def mask(self, pooled: jnp.ndarray, train: bool = False):
+        """pooled [B, R, p, p, C] -> masks [B, R, 2p, 2p, num_classes]."""
+        b, r = pooled.shape[:2]
+        flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        m = self.mask_head(flat, train)
+        return m.reshape((b, r) + m.shape[1:])
+
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """Parameter-initialization path: touches every submodule."""
+        pyramid = self.features(images, train)
+        rpn_out = self.rpn(pyramid)
+        cfg = self.config
+        b = images.shape[0]
+        c = cfg.top_down_pyramid_size
+        dummy_cls = jnp.zeros((b, 1, cfg.pool_size, cfg.pool_size, c), pyramid[0].dtype)
+        dummy_msk = jnp.zeros((b, 1, cfg.mask_pool_size, cfg.mask_pool_size, c), pyramid[0].dtype)
+        cls_out = self.classifier(dummy_cls, train)
+        mask_out = self.mask(dummy_msk, train)
+        return rpn_out, cls_out, mask_out
+
+
+def init_model(config: Config, rng: jax.Array) -> Tuple[MaskRCNN, Dict]:
+    """Build the module and initialize variables with dummy input."""
+    model = MaskRCNN(config)
+    h, w, c = config.image_shape
+    dummy = jnp.zeros((1, h, w, c), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables
+
+
+# ----------------------------------------------------------------- ROIAlign
+
+
+def pyramid_roi_align_batched(
+    pyramid: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    pool: int,
+) -> jnp.ndarray:
+    """[B,*,4] boxes over batched P2..P5 maps -> [B, R, pool, pool, C]."""
+    feats4 = pyramid[:4]
+
+    def per_image(boxes_i, *feats_i):
+        return multilevel_roi_align(list(feats_i), boxes_i, image_shape, pool)
+
+    return jax.vmap(per_image)(boxes, *feats4)
+
+
+# --------------------------------------------------------------- inference
+
+
+class InferenceOutput(NamedTuple):
+    detections: jnp.ndarray   # [B, D, 6] (y1,x1,y2,x2,class,score) normalized
+    masks: jnp.ndarray        # [B, D, mh, mw] per-detection class mask
+    rpn_rois: jnp.ndarray     # [B, P, 4]
+    rpn_probs: jnp.ndarray    # [B, A, 2]
+
+
+def forward_inference(
+    model: MaskRCNN,
+    variables: Dict,
+    images: jnp.ndarray,
+    image_metas: jnp.ndarray,
+    anchors: jnp.ndarray,
+) -> InferenceOutput:
+    """Full detect graph (reference inference build:
+    mrcnn/model.py:2134-2159 + detect: mrcnn/model.py:2623-2694)."""
+    cfg = model.config
+    pyramid = model.apply(variables, images, False, method=MaskRCNN.features)
+    _, rpn_probs, rpn_bbox = model.apply(variables, pyramid, method=MaskRCNN.rpn)
+
+    proposals, _ = generate_proposals(
+        rpn_probs,
+        rpn_bbox,
+        anchors,
+        jnp.asarray(cfg.rpn_bbox_std_dev, jnp.float32),
+        proposal_count=cfg.post_nms_rois_inference,
+        nms_threshold=cfg.rpn_nms_threshold,
+        pre_nms_limit=cfg.pre_nms_limit,
+    )
+
+    image_shape = cfg.image_shape[:2]
+    pooled = pyramid_roi_align_batched(pyramid, proposals, image_shape, cfg.pool_size)
+    _, probs, deltas = model.apply(variables, pooled, False, method=MaskRCNN.classifier)
+
+    meta = parse_image_meta_jax(image_metas)
+    # Window in normalized coordinates (reference: mrcnn/model.py:892-895).
+    h = meta["image_shape"][:, 0:1].astype(jnp.float32)
+    w = meta["image_shape"][:, 1:2].astype(jnp.float32)
+    scale = jnp.concatenate([h - 1, w - 1, h - 1, w - 1], axis=1)
+    shift = jnp.array([0.0, 0.0, 1.0, 1.0])
+    windows = (meta["window"].astype(jnp.float32) - shift) / scale
+
+    detections = refine_detections(
+        proposals,
+        probs,
+        deltas,
+        windows,
+        jnp.asarray(cfg.bbox_std_dev, jnp.float32),
+        num_classes=cfg.num_classes,
+        max_instances=cfg.detection_max_instances,
+        min_confidence=cfg.detection_min_confidence,
+        nms_threshold=cfg.detection_nms_threshold,
+    )
+
+    det_boxes = detections[..., :4]
+    mask_pooled = pyramid_roi_align_batched(
+        pyramid, det_boxes, image_shape, cfg.mask_pool_size
+    )
+    mrcnn_mask = model.apply(variables, mask_pooled, False, method=MaskRCNN.mask)
+    # Select the detected class's mask channel per detection.
+    det_class = detections[..., 4].astype(jnp.int32)  # [B, D]
+    masks = jnp.take_along_axis(
+        mrcnn_mask, det_class[:, :, None, None, None], axis=-1
+    )[..., 0]
+    return InferenceOutput(detections, masks, proposals, rpn_probs)
+
+
+def make_inference_fn(model: MaskRCNN):
+    """jit-compiled detect step."""
+
+    @jax.jit
+    def fn(variables, images, image_metas, anchors):
+        return forward_inference(model, variables, images, image_metas, anchors)
+
+    return fn
+
+
+# ---------------------------------------------------------------- training
+
+
+class TrainForward(NamedTuple):
+    rpn_class_logits: jnp.ndarray  # [B, A, 2]
+    rpn_bbox: jnp.ndarray          # [B, A, 4]
+    class_logits: jnp.ndarray      # [B, R, C]
+    bbox_deltas: jnp.ndarray       # [B, R, C, 4]
+    masks: jnp.ndarray             # [B, R, mh, mw, C]
+    target_class_ids: jnp.ndarray  # [B, R]
+    target_deltas: jnp.ndarray     # [B, R, 4]
+    target_masks: jnp.ndarray      # [B, R, mh, mw]
+    rois: jnp.ndarray              # [B, R, 4]
+
+
+def forward_train(
+    model: MaskRCNN,
+    variables: Dict,
+    rng: jax.Array,
+    images: jnp.ndarray,
+    gt_class_ids: jnp.ndarray,   # [B, G] zero-padded (negatives = crowd)
+    gt_boxes: jnp.ndarray,       # [B, G, 4] normalized, zero-padded
+    gt_masks: jnp.ndarray,       # [B, mH, mW, G]
+    anchors: jnp.ndarray,
+) -> TrainForward:
+    """Training forward pass producing head outputs + sampled targets
+    (reference training build: mrcnn/model.py:2066-2132)."""
+    cfg = model.config
+    pyramid = model.apply(variables, images, True, method=MaskRCNN.features)
+    rpn_logits, rpn_probs, rpn_bbox = model.apply(variables, pyramid, method=MaskRCNN.rpn)
+
+    proposals, _ = generate_proposals(
+        rpn_probs,
+        rpn_bbox,
+        anchors,
+        jnp.asarray(cfg.rpn_bbox_std_dev, jnp.float32),
+        proposal_count=cfg.post_nms_rois_training,
+        nms_threshold=cfg.rpn_nms_threshold,
+        pre_nms_limit=cfg.pre_nms_limit,
+    )
+
+    rois, target_class_ids, target_deltas, target_masks = detection_targets_batch(
+        rng, proposals, gt_class_ids, gt_boxes, gt_masks, cfg
+    )
+    rois = jax.lax.stop_gradient(rois)
+
+    image_shape = cfg.image_shape[:2]
+    pooled = pyramid_roi_align_batched(pyramid, rois, image_shape, cfg.pool_size)
+    class_logits, _, bbox_deltas = model.apply(
+        variables, pooled, True, method=MaskRCNN.classifier
+    )
+    mask_pooled = pyramid_roi_align_batched(
+        pyramid, rois, image_shape, cfg.mask_pool_size
+    )
+    masks = model.apply(variables, mask_pooled, True, method=MaskRCNN.mask)
+
+    return TrainForward(
+        rpn_class_logits=rpn_logits,
+        rpn_bbox=rpn_bbox,
+        class_logits=class_logits,
+        bbox_deltas=bbox_deltas,
+        masks=masks,
+        target_class_ids=target_class_ids,
+        target_deltas=target_deltas,
+        target_masks=target_masks,
+        rois=rois,
+    )

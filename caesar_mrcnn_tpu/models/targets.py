@@ -1,0 +1,231 @@
+"""Training target builders.
+
+* :func:`build_rpn_targets` — host-side (numpy) anchor<->GT matching,
+  behavioral parity with the reference (reference: mrcnn/model.py:1536-1644)
+  but emitting *anchor-aligned* delta targets (``[A, 4]``) instead of the
+  reference's compact ``[max_pos, 4]`` packing, which makes the device loss
+  a pure masked reduction.
+
+* :func:`detection_targets` — device-side (jax, vmapped) ROI sampling +
+  target generation, re-deriving the reference's DetectionTargetLayer
+  (reference: mrcnn/model.py:570-763) with static shapes: fixed positive /
+  negative slot counts selected by random-priority top-k over masked
+  candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.roi_align import crop_and_resize
+from ..utils import boxes as B
+
+# ------------------------------------------------------------------- host RPN
+
+
+def build_rpn_targets(
+    anchors: np.ndarray,
+    gt_class_ids: np.ndarray,
+    gt_boxes: np.ndarray,
+    config: Config,
+    rng: np.random.RandomState | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Anchor-aligned RPN targets.
+
+    Args:
+      anchors: [A, 4] in *pixel* coordinates.
+      gt_class_ids: [G] (negative = crowd).
+      gt_boxes: [G, 4] pixel coordinates.
+
+    Returns:
+      rpn_match: [A] int32, 1 positive / -1 negative / 0 neutral.
+      rpn_deltas: [A, 4] float32, normalized by RPN_BBOX_STD_DEV, valid only
+        where match == 1.
+    """
+    rng = rng or np.random
+    a = anchors.shape[0]
+    rpn_match = np.zeros([a], dtype=np.int32)
+    rpn_deltas = np.zeros([a, 4], dtype=np.float32)
+
+    if gt_boxes.shape[0] == 0:
+        rpn_match[:] = -1
+        # subsample negatives to the training budget
+        ids = np.where(rpn_match == -1)[0]
+        extra = len(ids) - config.rpn_train_anchors_per_image
+        if extra > 0:
+            rpn_match[rng.choice(ids, extra, replace=False)] = 0
+        return rpn_match, rpn_deltas
+
+    # Crowd handling (reference: mrcnn/model.py:1556-1571)
+    crowd_ix = np.where(gt_class_ids < 0)[0]
+    if crowd_ix.shape[0] > 0:
+        non_crowd_ix = np.where(gt_class_ids > 0)[0]
+        crowd_boxes = gt_boxes[crowd_ix]
+        gt_boxes = gt_boxes[non_crowd_ix]
+        crowd_overlaps = B.compute_overlaps(anchors, crowd_boxes)
+        no_crowd = crowd_overlaps.max(axis=1) < 0.001 if crowd_boxes.size else np.ones(a, bool)
+    else:
+        no_crowd = np.ones([a], dtype=bool)
+
+    if gt_boxes.shape[0] == 0:
+        rpn_match[no_crowd] = -1
+        return rpn_match, rpn_deltas
+
+    overlaps = B.compute_overlaps(anchors, gt_boxes)
+    anchor_iou_argmax = np.argmax(overlaps, axis=1)
+    anchor_iou_max = overlaps[np.arange(a), anchor_iou_argmax]
+    # negatives, then best-anchor-per-GT, then IoU>=0.7 positives
+    # (reference: mrcnn/model.py:1583-1595)
+    rpn_match[(anchor_iou_max < 0.3) & no_crowd] = -1
+    gt_iou_argmax = np.argwhere(overlaps == np.max(overlaps, axis=0))[:, 0]
+    rpn_match[gt_iou_argmax] = 1
+    rpn_match[anchor_iou_max >= 0.7] = 1
+
+    # Subsample (reference: mrcnn/model.py:1597-1613)
+    ids = np.where(rpn_match == 1)[0]
+    extra = len(ids) - (config.rpn_train_anchors_per_image // 2)
+    if extra > 0:
+        rpn_match[rng.choice(ids, extra, replace=False)] = 0
+    ids = np.where(rpn_match == -1)[0]
+    extra = len(ids) - (config.rpn_train_anchors_per_image - np.sum(rpn_match == 1))
+    if extra > 0:
+        rpn_match[rng.choice(ids, extra, replace=False)] = 0
+
+    # Deltas for positives, aligned per-anchor
+    pos = np.where(rpn_match == 1)[0]
+    if pos.size:
+        gt = gt_boxes[anchor_iou_argmax[pos]]
+        deltas = B.box_refinement(anchors[pos].astype(np.float32), gt.astype(np.float32))
+        rpn_deltas[pos] = deltas / np.asarray(config.rpn_bbox_std_dev, np.float32)
+    return rpn_match, rpn_deltas
+
+
+# ------------------------------------------------------------- device targets
+
+
+def detection_targets(
+    rng: jax.Array,
+    proposals: jnp.ndarray,      # [P, 4] normalized, zero-padded
+    gt_class_ids: jnp.ndarray,   # [G] zero-padded; negative = crowd
+    gt_boxes: jnp.ndarray,       # [G, 4] normalized, zero-padded
+    gt_masks: jnp.ndarray,       # [mH, mW, G] bool/float
+    config: Config,
+):
+    """Sample ROIs and build class/box/mask targets for one image.
+
+    Static-shape re-derivation of the reference detection_targets_graph
+    (reference: mrcnn/model.py:570-705):
+
+    * positives: IoU >= 0.5 with any GT; up to
+      ``int(TRAIN_ROIS * ROI_POSITIVE_RATIO)`` sampled uniformly;
+    * negatives: IoU < 0.5 and no crowd overlap; count keeps the
+      positive fraction at ROI_POSITIVE_RATIO;
+    * layout: ``TRAIN_ROIS`` slots = [pos_cap | the rest], zero-padded.
+
+    Returns (rois [R,4], class_ids [R], deltas [R,4], masks [R,mh,mw]).
+    """
+    r_total = config.train_rois_per_image
+    pos_cap = int(r_total * config.roi_positive_ratio)
+    neg_cap = r_total - pos_cap
+    mh, mw = config.mask_shape
+
+    # Guard: top_k needs k <= N, so pad the proposal set when it is smaller
+    # than a slot budget (possible with tiny test configs).
+    need = max(pos_cap, neg_cap)
+    if proposals.shape[0] < need:
+        proposals = jnp.pad(proposals, ((0, need - proposals.shape[0]), (0, 0)))
+
+    prop_valid = (proposals[:, 2] - proposals[:, 0]) * (proposals[:, 3] - proposals[:, 1]) > 0
+    gt_valid = gt_class_ids > 0
+    crowd = gt_class_ids < 0
+
+    overlaps = B.overlaps_jax(proposals, gt_boxes)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
+    crowd_overlaps = jnp.where(crowd[None, :], B.overlaps_jax(proposals, gt_boxes), 0.0)
+    no_crowd = jnp.max(crowd_overlaps, axis=1) < 0.001
+
+    roi_iou_max = jnp.max(overlaps, axis=1)
+    positive = prop_valid & (roi_iou_max >= 0.5)
+    negative = prop_valid & (roi_iou_max < 0.5) & no_crowd
+
+    kpos, kneg = jax.random.split(rng)
+    # Random-priority top-k sampling under a mask (static shapes).
+    pos_pri = jnp.where(positive, jax.random.uniform(kpos, positive.shape), -jnp.inf)
+    _, pos_idx = jax.lax.top_k(pos_pri, pos_cap)
+    pos_ok = positive[pos_idx]
+    n_pos = jnp.sum(pos_ok)
+
+    # negative count keeps ~1:2 pos:neg ratio
+    # (reference: mrcnn/model.py:635-641)
+    ratio_count = (
+        (1.0 / config.roi_positive_ratio) * n_pos.astype(jnp.float32)
+    ).astype(jnp.int32) - n_pos
+    neg_pri = jnp.where(negative, jax.random.uniform(kneg, negative.shape), -jnp.inf)
+    _, neg_idx = jax.lax.top_k(neg_pri, neg_cap)
+    neg_rank = jnp.arange(neg_cap)
+    neg_ok = negative[neg_idx] & (neg_rank < ratio_count)
+
+    pos_rois = jnp.where(pos_ok[:, None], proposals[pos_idx], 0.0)
+    neg_rois = jnp.where(neg_ok[:, None], proposals[neg_idx], 0.0)
+
+    # Assign positives to their best GT
+    pos_overlaps = overlaps[pos_idx]  # [pos_cap, G]
+    gt_assign = jnp.argmax(pos_overlaps, axis=1)
+    roi_gt_boxes = gt_boxes[gt_assign]
+    roi_gt_class = jnp.where(pos_ok, gt_class_ids[gt_assign], 0)
+
+    deltas = B.box_refinement_jax(pos_rois, roi_gt_boxes)
+    deltas = deltas / jnp.asarray(config.bbox_std_dev, jnp.float32)
+    deltas = jnp.where(pos_ok[:, None], deltas, 0.0)
+
+    # Mask targets: crop assigned GT mask to the ROI box, resize to
+    # MASK_SHAPE, round to {0,1} (reference: mrcnn/model.py:660-693).
+    roi_masks = jnp.transpose(gt_masks, (2, 0, 1))[gt_assign]  # [pos_cap, mH, mW]
+    if config.use_mini_mask:
+        # ROI coords -> normalized mini-mask coords
+        # (reference: mrcnn/model.py:669-678)
+        gy1, gx1, gy2, gx2 = jnp.split(roi_gt_boxes, 4, axis=1)
+        gh = jnp.maximum(gy2 - gy1, 1e-8)
+        gw = jnp.maximum(gx2 - gx1, 1e-8)
+        y1 = (pos_rois[:, 0:1] - gy1) / gh
+        x1 = (pos_rois[:, 1:2] - gx1) / gw
+        y2 = (pos_rois[:, 2:3] - gy1) / gh
+        x2 = (pos_rois[:, 3:4] - gx1) / gw
+        crop_boxes = jnp.concatenate([y1, x1, y2, x2], axis=1)
+    else:
+        crop_boxes = pos_rois
+
+    def crop_one(mask_img, box):
+        return crop_and_resize(mask_img.astype(jnp.float32), box[None], (mh, mw))[0]
+
+    masks = jax.vmap(crop_one)(roi_masks, crop_boxes)
+    masks = jnp.round(masks)
+    masks = jnp.where(pos_ok[:, None, None], masks, 0.0)
+
+    rois = jnp.concatenate([pos_rois, neg_rois], axis=0)
+    class_ids = jnp.concatenate([roi_gt_class, jnp.zeros((neg_cap,), roi_gt_class.dtype)])
+    deltas = jnp.concatenate([deltas, jnp.zeros((neg_cap, 4), deltas.dtype)])
+    masks = jnp.concatenate([masks, jnp.zeros((neg_cap, mh, mw), masks.dtype)])
+    return rois, class_ids, deltas, masks
+
+
+def detection_targets_batch(
+    rng: jax.Array,
+    proposals: jnp.ndarray,
+    gt_class_ids: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    config: Config,
+):
+    """vmapped batch version (replaces the reference DetectionTargetLayer's
+    batch_slice, mrcnn/model.py:708-763)."""
+    b = proposals.shape[0]
+    keys = jax.random.split(rng, b)
+    fn = functools.partial(detection_targets, config=config)
+    return jax.vmap(fn)(keys, proposals, gt_class_ids, gt_boxes, gt_masks)

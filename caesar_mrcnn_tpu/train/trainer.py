@@ -1,0 +1,215 @@
+"""Optimizer, layer freezing, train step, training loop.
+
+Re-design of the reference's compile/train machinery
+(reference: mrcnn/model.py:2255-2517):
+
+* the ``optimizer`` config knob is honored (SGD+momentum or Adam) — the
+  reference declared ``OPTIMIZER='ADAM'`` but its compile hard-coded SGD
+  (reference: mrcnn/model.py:2260-2262 vs scripts/run.py:193);
+* gradient clip-norm 5.0 (reference: mrcnn/model.py:2261);
+* decoupled weight decay on conv/dense kernels, excluding BN scale/bias
+  and biases (the reference added keras L2 on all weights except
+  gamma/beta, mrcnn/model.py:2283-2290; wd = 2*l2_lambda equivalence);
+* layer-freeze stage selectors ``heads|3+|4+|5+|all`` via param-path
+  masking (reference regexes: mrcnn/model.py:2432-2443);
+* data-parallel train step: batch sharded over the mesh, params
+  replicated, XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import time
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze, unfreeze
+
+from .. import logger
+from ..config import Config
+from ..models.losses import compute_losses
+from ..models.mask_rcnn import MaskRCNN, forward_train
+from ..models.meta import parse_image_meta_jax
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+# --------------------------------------------------------------- freezing
+
+# Training-stage selectors (reference: mrcnn/model.py:2432-2443). A param
+# path is trainable when any of its stage patterns matches.
+_STAGE_PATTERNS = {
+    "heads": [r"^fpn\b|/fpn|fpn_", r"rpn", r"classifier_head", r"mask_head"],
+    "3+": [r"res3", r"res4", r"res5", r"^fpn\b|/fpn|fpn_", r"rpn", r"classifier_head", r"mask_head"],
+    "4+": [r"res4", r"res5", r"^fpn\b|/fpn|fpn_", r"rpn", r"classifier_head", r"mask_head"],
+    "5+": [r"res5", r"^fpn\b|/fpn|fpn_", r"rpn", r"classifier_head", r"mask_head"],
+    "all": [r".*"],
+}
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def trainable_mask(params, layers: str):
+    """Boolean pytree: True = trainable under the stage selector."""
+    pats = [re.compile(p) for p in _STAGE_PATTERNS[layers]]
+
+    def decide(path, _):
+        s = _path_str(path)
+        return any(p.search(s) for p in pats)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def decay_mask(params):
+    """True where decoupled weight decay applies: kernels only, never BN
+    scale/bias or biases."""
+
+    def decide(path, _):
+        s = _path_str(path)
+        return s.endswith("kernel") and "bn" not in s.lower() and "BatchNorm" not in s
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(config: Config, params, layers: str = "all") -> optax.GradientTransformation:
+    if config.optimizer.lower() == "adam":
+        opt = optax.adam(config.learning_rate)
+    elif config.optimizer.lower() == "sgd":
+        opt = optax.sgd(config.learning_rate, momentum=config.learning_momentum)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer}")
+    chain = [
+        optax.clip_by_global_norm(config.gradient_clip_norm),
+        optax.add_decayed_weights(2.0 * config.weight_decay, mask=decay_mask(params)),
+        opt,
+    ]
+    tx = optax.chain(*chain)
+    if layers != "all":
+        mask = trainable_mask(params, layers)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask),
+        )
+    return tx
+
+
+# ------------------------------------------------------------- train state
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    config: Config, variables: Dict, layers: str = "all"
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config, params, layers)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
+
+
+# --------------------------------------------------------------- train step
+
+
+def make_train_step(
+    model: MaskRCNN,
+    tx: optax.GradientTransformation,
+    anchors: np.ndarray,
+    mesh=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    When ``mesh`` is provided the step is compiled with the batch sharded
+    over the ``data`` axis and params/opt-state replicated — the
+    data-parallel gradient psum happens inside XLA over ICI.
+    """
+    cfg = model.config
+    anchors = jnp.asarray(anchors)
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs = forward_train(
+                model,
+                variables,
+                rng,
+                batch["images"],
+                batch["gt_class_ids"],
+                batch["gt_boxes"],
+                batch["gt_masks"],
+                anchors,
+            )
+            meta = parse_image_meta_jax(batch["image_meta"])
+            losses = compute_losses(
+                outputs,
+                batch["rpn_match"],
+                batch["rpn_deltas"],
+                meta["active_class_ids"],
+                cfg,
+            )
+            return losses["total_loss"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, state.batch_stats, opt_state)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+# ------------------------------------------------------------------- loop
+
+
+def train_loop(
+    model: MaskRCNN,
+    state: TrainState,
+    train_step: Callable,
+    batches: Iterator[Dict],
+    steps: int,
+    rng: jax.Array,
+    log_every: int = 50,
+    callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """Run ``steps`` optimizer steps; returns final state + last losses."""
+    history: Dict[str, float] = {}
+    t0 = time.time()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        batch = next(batches)
+        state, losses = train_step(state, batch, sub)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            history = {k: float(v) for k, v in losses.items()}
+            dt = time.time() - t0
+            logger.info(
+                "step %d/%d loss=%.4f (%.2f s/step) %s",
+                i + 1,
+                steps,
+                history.get("total_loss", float("nan")),
+                dt / (i + 1),
+                {k: round(v, 4) for k, v in history.items() if k != "total_loss"},
+            )
+            if callback is not None:
+                callback(i + 1, history)
+    return state, history

@@ -1,0 +1,135 @@
+"""RPN target builder (host) and detection targets (device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caesar_mrcnn_tpu.config import detector_config
+from caesar_mrcnn_tpu.models.targets import build_rpn_targets, detection_targets
+from caesar_mrcnn_tpu.utils import boxes as B
+from caesar_mrcnn_tpu.utils.anchors import generate_pyramid_anchors
+
+
+def _cfg():
+    return detector_config(
+        image_min_dim=128,
+        image_max_dim=128,
+        num_classes=4,
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+        rpn_train_anchors_per_image=64,
+        train_rois_per_image=32,
+        max_gt_instances=4,
+        use_mini_mask=False,
+        mask_shape=(28, 28),
+    )
+
+
+def _anchors(cfg):
+    shapes = cfg.backbone_shapes
+    return generate_pyramid_anchors(
+        cfg.rpn_anchor_scales, cfg.rpn_anchor_ratios, shapes,
+        cfg.backbone_strides, cfg.rpn_anchor_stride,
+    )
+
+
+def test_rpn_targets_basic():
+    cfg = _cfg()
+    anchors = _anchors(cfg)
+    gt_boxes = np.array([[30, 30, 60, 60], [80, 80, 110, 100]], dtype=np.float32)
+    gt_ids = np.array([1, 2], dtype=np.int32)
+    rng = np.random.RandomState(0)
+    match, deltas = build_rpn_targets(anchors, gt_ids, gt_boxes, cfg, rng)
+    assert match.shape == (anchors.shape[0],)
+    assert deltas.shape == (anchors.shape[0], 4)
+    n_pos = (match == 1).sum()
+    n_neg = (match == -1).sum()
+    assert n_pos >= 2  # every GT has at least one anchor
+    assert n_pos <= cfg.rpn_train_anchors_per_image // 2
+    assert n_pos + n_neg <= cfg.rpn_train_anchors_per_image
+    # positive anchor deltas reconstruct their GT box
+    pos = np.where(match == 1)[0]
+    std = np.asarray(cfg.rpn_bbox_std_dev, np.float32)
+    rec = B.apply_box_deltas(anchors[pos].astype(np.float32), deltas[pos] * std)
+    ious = B.compute_overlaps(rec, gt_boxes)
+    assert (ious.max(axis=1) > 0.99).all()
+
+
+def test_rpn_targets_empty_gt():
+    cfg = _cfg()
+    anchors = _anchors(cfg)
+    match, deltas = build_rpn_targets(
+        anchors, np.zeros((0,), np.int32), np.zeros((0, 4), np.float32), cfg,
+        np.random.RandomState(0),
+    )
+    assert (match == 1).sum() == 0
+    assert (match == -1).sum() == cfg.rpn_train_anchors_per_image
+
+
+def test_detection_targets_sampling():
+    cfg = _cfg()
+    g = cfg.max_gt_instances
+    p = 64
+    rng = np.random.RandomState(2)
+    # GT: two valid boxes
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_boxes[0] = [0.1, 0.1, 0.4, 0.4]
+    gt_boxes[1] = [0.6, 0.6, 0.9, 0.9]
+    gt_ids = np.zeros((g,), np.int32)
+    gt_ids[:2] = [1, 3]
+    gt_masks = np.zeros((128, 128, g), np.float32)
+    gt_masks[13:51, 13:51, 0] = 1.0
+    gt_masks[77:115, 77:115, 1] = 1.0
+    # proposals: near-GT positives + background negatives + zero padding
+    proposals = np.zeros((p, 4), np.float32)
+    proposals[0] = [0.1, 0.1, 0.41, 0.39]   # matches gt 0
+    proposals[1] = [0.62, 0.58, 0.9, 0.92]  # matches gt 1
+    for i in range(2, 40):
+        y = rng.uniform(0, 0.05)
+        proposals[i] = [y, y, y + 0.04, y + 0.04]  # tiny bg boxes
+    out = detection_targets(
+        jax.random.PRNGKey(0),
+        jnp.asarray(proposals),
+        jnp.asarray(gt_ids),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_masks),
+        cfg,
+    )
+    rois, class_ids, deltas, masks = (np.asarray(o) for o in out)
+    r = cfg.train_rois_per_image
+    assert rois.shape == (r, 4)
+    assert masks.shape == (r, 28, 28)
+    pos = class_ids > 0
+    assert pos.sum() == 2
+    assert set(class_ids[pos]) == {1, 3}
+    # positive fraction respected
+    assert pos.sum() <= int(r * cfg.roi_positive_ratio)
+    # negatives keep ratio: pos=2 -> total ~ 2/0.33 = 6 -> ~4 negatives
+    n_neg = ((rois.sum(axis=1) != 0) & ~pos).sum()
+    assert 3 <= n_neg + pos.sum() <= 8
+    # deltas reconstruct the assigned GT
+    std = np.asarray(cfg.bbox_std_dev, np.float32)
+    pos_idx = np.where(pos)[0]
+    rec = B.apply_box_deltas(rois[pos_idx], deltas[pos_idx] * std)
+    ious = B.compute_overlaps(rec, gt_boxes[:2])
+    assert (ious.max(axis=1) > 0.99).all()
+    # mask targets are binary and nonempty for positives
+    assert set(np.unique(masks)).issubset({0.0, 1.0})
+    assert masks[pos_idx].sum() > 0
+
+
+def test_detection_targets_no_gt():
+    cfg = _cfg()
+    g = cfg.max_gt_instances
+    proposals = np.zeros((16, 4), np.float32)
+    proposals[0] = [0.1, 0.1, 0.2, 0.2]
+    out = detection_targets(
+        jax.random.PRNGKey(1),
+        jnp.asarray(proposals),
+        jnp.zeros((g,), jnp.int32),
+        jnp.zeros((g, 4), jnp.float32),
+        jnp.zeros((64, 64, g), jnp.float32),
+        cfg,
+    )
+    rois, class_ids, deltas, masks = (np.asarray(o) for o in out)
+    assert (class_ids == 0).all()
+    assert np.isfinite(deltas).all()

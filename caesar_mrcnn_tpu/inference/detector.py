@@ -1,0 +1,163 @@
+"""Detection pipeline: mold -> jitted forward -> unmold.
+
+Re-design of ``MaskRCNN.detect`` (reference: mrcnn/model.py:2623-2762):
+molding (resize + mean subtraction + meta packing,
+reference: mrcnn/model.py:2519-2556), a single jit-compiled device graph,
+and host-side unmolding (padding strip, window->original-pixel boxes,
+mask paste, reference: mrcnn/model.py:2558-2621).
+
+The jitted step is compiled once per (batch, image-shape) signature and
+reused — variable batch tails are padded up to the compiled batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..config import Config
+from ..models.mask_rcnn import MaskRCNN, make_inference_fn
+from ..models.meta import compose_image_meta
+from ..utils import boxes as B
+from ..utils import image as I
+from ..utils.anchors import get_anchors
+
+
+class Detector:
+    """Stateful wrapper: model + variables + compiled detect step."""
+
+    def __init__(self, config: Config, model: MaskRCNN, variables: Dict):
+        self.config = config
+        self.model = model
+        self.variables = variables
+        self._fn = make_inference_fn(model)
+
+    # ----------------------------------------------------------- molding
+    def mold_inputs(self, images: Sequence[np.ndarray]):
+        """Resize + mean-subtract + pack meta (reference:
+        mrcnn/model.py:2519-2556)."""
+        cfg = self.config
+        molded, metas, windows = [], [], []
+        for image in images:
+            m, window, scale, _pad, _crop = I.resize_image(
+                image,
+                min_dim=cfg.image_min_dim,
+                min_scale=cfg.image_min_scale,
+                max_dim=cfg.image_max_dim,
+                mode=cfg.image_resize_mode,
+            )
+            molded.append(I.mold_image(m, cfg.mean_pixel))
+            metas.append(
+                compose_image_meta(
+                    0, image.shape, m.shape, window, scale, np.zeros(cfg.num_classes)
+                )
+            )
+            windows.append(window)
+        return (
+            np.stack(molded).astype(np.float32),
+            np.stack(metas).astype(np.float32),
+            np.stack(windows),
+        )
+
+    # ------------------------------------------------------------ unmold
+    def unmold_detections(
+        self, detections: np.ndarray, mrcnn_mask: np.ndarray,
+        original_image_shape, image_shape, window,
+    ):
+        """One image's padded device outputs -> pixel-space results
+        (reference: mrcnn/model.py:2558-2621)."""
+        zero_ix = np.where(detections[:, 4] == 0)[0]
+        n = zero_ix[0] if zero_ix.shape[0] > 0 else detections.shape[0]
+
+        boxes = detections[:n, :4]
+        class_ids = detections[:n, 4].astype(np.int32)
+        scores = detections[:n, 5]
+        masks = mrcnn_mask[:n]
+
+        window_n = B.norm_boxes(np.asarray(window), image_shape[:2])
+        wy1, wx1, wy2, wx2 = window_n
+        shift = np.array([wy1, wx1, wy1, wx1])
+        wh = wy2 - wy1
+        ww = wx2 - wx1
+        scale = np.array([wh, ww, wh, ww])
+        boxes = np.divide(boxes - shift, scale)
+        boxes = B.denorm_boxes(boxes, original_image_shape[:2])
+
+        exclude = np.where(
+            (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) <= 0
+        )[0]
+        if exclude.shape[0] > 0:
+            boxes = np.delete(boxes, exclude, axis=0)
+            class_ids = np.delete(class_ids, exclude, axis=0)
+            scores = np.delete(scores, exclude, axis=0)
+            masks = np.delete(masks, exclude, axis=0)
+            n = class_ids.shape[0]
+
+        full_masks = [
+            I.unmold_mask(masks[i], boxes[i], original_image_shape) for i in range(n)
+        ]
+        full_masks = (
+            np.stack(full_masks, axis=-1)
+            if full_masks
+            else np.empty(tuple(original_image_shape[:2]) + (0,))
+        )
+        return boxes, class_ids, scores, full_masks
+
+    # ------------------------------------------------------------ detect
+    def detect(self, images: Sequence[np.ndarray], verbose: int = 0) -> List[Dict]:
+        """Run detection; returns per-image dicts {rois, class_ids, scores,
+        masks} (reference contract: mrcnn/model.py:2689-2694)."""
+        cfg = self.config
+        n_in = len(images)
+        bs = cfg.batch_size
+        assert n_in <= bs, f"detect got {n_in} images but batch_size={bs}"
+        molded, metas, windows = self.mold_inputs(images)
+        if n_in < bs:  # pad tail to the compiled batch
+            reps = bs - n_in
+            molded = np.concatenate([molded, np.repeat(molded[-1:], reps, axis=0)])
+            metas = np.concatenate([metas, np.repeat(metas[-1:], reps, axis=0)])
+
+        image_shape = molded[0].shape
+        anchors = jnp.asarray(get_anchors(cfg, image_shape))
+        out = self._fn(self.variables, jnp.asarray(molded), jnp.asarray(metas), anchors)
+        detections = np.asarray(out.detections)
+        masks = np.asarray(out.masks)
+
+        results = []
+        for i in range(n_in):
+            rois, class_ids, scores, full_masks = self.unmold_detections(
+                detections[i], masks[i], images[i].shape, molded[i].shape, windows[i]
+            )
+            results.append(
+                {
+                    "rois": rois,
+                    "class_ids": class_ids,
+                    "scores": scores,
+                    "masks": full_masks,
+                }
+            )
+        if verbose:
+            logger.info("detected %s", [len(r["class_ids"]) for r in results])
+        return results
+
+
+def build_detector(
+    config: Config,
+    weights_path: Optional[str] = None,
+    exclude: Optional[Sequence[str]] = None,
+    seed: int = 0,
+) -> Detector:
+    """Construct model + variables (optionally restoring weights by name
+    with exclusions, reference: mrcnn/model.py:2197-2239)."""
+    from ..models.mask_rcnn import init_model
+    from ..train.checkpoints import load_checkpoint, partial_restore
+
+    model, variables = init_model(config, jax.random.PRNGKey(seed))
+    if weights_path:
+        stored = load_checkpoint(weights_path)
+        variables, _, _ = partial_restore(variables, stored, exclude=exclude)
+    return Detector(config, model, variables)

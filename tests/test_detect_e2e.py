@@ -1,0 +1,85 @@
+"""End-to-end detect slice: FITS -> preprocess -> jit forward -> unmold ->
+JSON + DS9 + PNG on the bundled reference image (SURVEY.md §7 milestone 4)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from caesar_mrcnn_tpu.analysis.analyzer import Analyzer
+from caesar_mrcnn_tpu.config import detector_config, inference_config
+from caesar_mrcnn_tpu.inference.detector import Detector
+from caesar_mrcnn_tpu.models.mask_rcnn import init_model
+from caesar_mrcnn_tpu.utils import fits as F
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = detector_config(
+        backbone="custom",
+        image_min_dim=128,
+        image_max_dim=128,
+        num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=1,
+        pre_nms_limit=512,
+        post_nms_rois_inference=100,
+        detection_max_instances=16,
+        compute_dtype="float32",
+        score_thr=0.0,  # random weights: accept anything the NMS leaves
+    )
+    cfg = inference_config(cfg)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    return Detector(cfg, model, variables)
+
+
+def test_detect_on_bundled_fits(detector, ref_data_dir, tmp_path):
+    image, header = F.read_fits(f"{ref_data_dir}/galaxy0002.fits")
+    assert image.shape == (132, 132, 3)
+
+    results = detector.detect([image])
+    assert len(results) == 1
+    r = results[0]
+    n = len(r["class_ids"])
+    assert r["rois"].shape == (n, 4)
+    assert r["masks"].shape[:2] == image.shape[:2]
+    assert r["masks"].shape[2] == n
+    # boxes within image bounds
+    if n:
+        assert (r["rois"][:, [0, 2]] <= image.shape[0]).all()
+        assert (r["rois"][:, [0, 1]] >= 0).all()
+
+    # Analyzer end-to-end: post-process + catalog + regions + png
+    analyzer = Analyzer(detector, detector.config)
+    analyzer.outfile_json = str(tmp_path / "catalog.json")
+    analyzer.outfile_ds9 = str(tmp_path / "regions.reg")
+    analyzer.outfile_img = str(tmp_path / "overlay.png")
+    analyzer.draw = True
+    raw, _ = F.read_fits_data(f"{ref_data_dir}/galaxy0002.fits")
+    assert analyzer.predict(image, image_id="galaxy0002", header=header, raw_image=raw) == 0
+
+    assert os.path.isfile(analyzer.outfile_json)
+    with open(analyzer.outfile_json) as f:
+        catalog = json.load(f)
+    assert catalog["image_id"] == "galaxy0002"
+    assert isinstance(catalog["objs"], list)
+    for obj in catalog["objs"]:
+        assert set(obj) >= {"name", "x1", "x2", "y1", "y2", "class_id", "class_name",
+                            "score", "pixels", "vertexes", "edge"}
+    assert os.path.isfile(analyzer.outfile_ds9)
+    with open(analyzer.outfile_ds9) as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("# Region file format: DS9")
+    assert lines[1] == "image"
+    assert os.path.isfile(analyzer.outfile_img)
+
+
+def test_detect_batch_padding(detector, ref_data_dir):
+    """Single image with compiled batch 1 plus second call reuses the jit."""
+    img1, _ = F.read_fits(f"{ref_data_dir}/galaxy0002.fits")
+    img2, _ = F.read_fits(f"{ref_data_dir}/sidelobe0001.fits")
+    r1 = detector.detect([img1])
+    r2 = detector.detect([img2])
+    assert len(r1) == 1 and len(r2) == 1

@@ -122,12 +122,15 @@ class Analyzer:
         # 4. merge connected same-class masks with IoU >= threshold
         if self.merge_overlapped_masks and det:
             n = len(det)
+            bbs = [M.mask_bbox(m) for m, _, _ in det]
             g = Graph(n)
             for i in range(n):
                 for j in range(i + 1, n):
                     if det[i][1] != det[j][1]:
                         continue
-                    if not M.are_masks_connected(det[i][0], det[j][0]):
+                    if not M.bboxes_adjacent(bbs[i], bbs[j], gap=2):
+                        continue
+                    if not M.are_masks_connected(det[i][0], det[j][0], bbs[i], bbs[j]):
                         continue
                     if M.mask_iou(det[i][0], det[j][0]) >= self.merge_overlap_iou_thr:
                         g.addEdge(i, j)
@@ -149,13 +152,16 @@ class Analyzer:
             import networkx as nx
 
             n = len(merged)
+            bbs = [M.mask_bbox(m) for m, _, _ in merged]
             gx = nx.Graph()
             gx.add_nodes_from(range(n))
             for i in range(n):
                 label_i = self.class_names[merged[i][1]]
                 for j in range(i + 1, n):
                     label_j = self.class_names[merged[j][1]]
-                    if not M.are_masks_connected(merged[i][0], merged[j][0]):
+                    if not M.bboxes_adjacent(bbs[i], bbs[j], gap=2):
+                        continue
+                    if not M.are_masks_connected(merged[i][0], merged[j][0], bbs[i], bbs[j]):
                         continue
                     mergeable = True
                     spurious_other = (label_i in ("spurious", "sidelobe")) != (

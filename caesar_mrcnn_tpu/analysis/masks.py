@@ -33,16 +33,17 @@ def bboxes_adjacent(b1, b2, gap: int = 1) -> bool:
     )
 
 
-def are_masks_connected(m1: np.ndarray, m2: np.ndarray) -> bool:
+def are_masks_connected(m1: np.ndarray, m2: np.ndarray, b1=None, b2=None) -> bool:
     """True if the union of the two masks forms one 8-connected component —
     i.e. some pixel pair is within |dx|<=1, |dy|<=1 (the reference's merge
     criterion, mrcnn/analyze.py:2154-2173 / sfinder.py:786-810).
 
     Fast path: reject via bbox distance, then test a dilated overlap on the
-    joint bbox crop only.
+    joint bbox crop only. Precomputed bboxes can be passed to avoid
+    recomputation in O(N^2) pair loops.
     """
-    b1 = mask_bbox(m1)
-    b2 = mask_bbox(m2)
+    b1 = b1 if b1 is not None else mask_bbox(m1)
+    b2 = b2 if b2 is not None else mask_bbox(m2)
     if b1[2] == b1[0] or b2[2] == b2[0]:
         return False
     if not bboxes_adjacent(b1, b2, gap=2):

@@ -1,0 +1,133 @@
+"""SFinder serial + tiled paths with a threshold-based fake detector.
+
+The fake detector "detects" bright blobs by thresholding the preprocessed
+image, which makes the tiling/offset/merge machinery testable hermetically:
+a blob straddling a tile boundary must come back as ONE merged source.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from caesar_mrcnn_tpu.analysis.sfinder import SFinder
+from caesar_mrcnn_tpu.config import detector_config
+from caesar_mrcnn_tpu.utils import fits as F
+
+
+class FakeDetector:
+    """Thresholds channel 0 and returns one detection per blob."""
+
+    def __init__(self, batch_size=4):
+        self.batch_size = batch_size
+
+    def detect(self, images, verbose=0):
+        results = []
+        for img in images:
+            chan = img[..., 0].astype(np.float32)
+            mask = chan > 0.9 * chan.max() if chan.max() > 0 else chan > np.inf
+            labels, n_all = ndimage.label(mask)
+            # keep only substantial blobs (zscale stretches noise to full
+            # range, so single-pixel speckles must be rejected)
+            keep = [
+                i + 1 for i in range(n_all) if (labels == i + 1).sum() >= 20
+            ]
+            n = len(keep)
+            masks = np.stack(
+                [(labels == k) for k in keep], axis=-1
+            ) if n else np.zeros(chan.shape + (0,), bool)
+            boxes = []
+            for k in keep:
+                ys, xs = np.nonzero(labels == k)
+                boxes.append([ys.min(), xs.min(), ys.max() + 1, xs.max() + 1])
+            results.append(
+                {
+                    "rois": np.array(boxes, dtype=np.int32).reshape(n, 4),
+                    "class_ids": np.full(n, 2, dtype=np.int32),
+                    "scores": np.full(n, 0.95, dtype=np.float32),
+                    "masks": masks,
+                }
+            )
+        return results
+
+
+@pytest.fixture()
+def mosaic_fits(tmp_path):
+    """256x256 image: blob A fully inside tile 0, blob B straddling the
+    x=128 tile boundary."""
+    rng = np.random.RandomState(0)
+    data = rng.normal(0.0, 0.01, (256, 256)).astype(np.float32)
+    data[40:60, 40:60] += 10.0          # blob A in tile (0,0)
+    data[100:120, 120:140] += 10.0      # blob B straddles x=128
+    path = str(tmp_path / "mosaic.fits")
+    F.write_fits(data, path, header={
+        "CRPIX1": 128.0, "CRPIX2": 128.0, "CRVAL1": 150.0, "CRVAL2": 2.0,
+        "CDELT1": -2.8e-4, "CDELT2": 2.8e-4,
+        "BMAJ": 1.5e-3, "BMIN": 1.2e-3,
+    })
+    return path
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        score_thr=0.5,
+        images_per_device=2,
+        num_devices=1,
+        tile_xsize=128,
+        tile_ysize=128,
+        tile_xstep=1.0,
+        tile_ystep=1.0,
+    )
+    base.update(kw)
+    return detector_config(**base)
+
+
+def test_sfinder_serial(mosaic_fits, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path)
+    sf = SFinder(FakeDetector(), cfg)
+    catalog = sf.run(mosaic_fits)
+    assert len(catalog["objs"]) == 2
+    names = {o["class_name"] for o in catalog["objs"]}
+    assert names == {"source"}
+    # source params computed from the raw image
+    for obj in catalog["objs"]:
+        assert obj["pars"]["npix"] == 400
+        assert obj["pars"]["Smax"] > 9.0
+        assert "x0_wcs" in obj["pars"]
+        assert "flux" in obj["pars"]
+    assert os.path.isfile(f"catalog_{sf.image_id}.json")
+    assert os.path.isfile(f"ds9_{sf.image_id}.reg")
+
+
+def test_sfinder_tiled_merges_straddling_source(mosaic_fits, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, split_img_in_tiles=True)
+    sf = SFinder(FakeDetector(), cfg)
+    catalog = sf.run_tiled(mosaic_fits)
+    # blob B was split between 2 tiles but must merge back into one source
+    assert len(catalog["objs"]) == 2
+    merged = [o for o in catalog["objs"] if o.get("merged")]
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["n_merged"] == 2
+    assert m["x1"] == 120 and m["x2"] == 139
+    assert m["y1"] == 100 and m["y2"] == 119
+    assert m["pars"]["npix"] == 400
+    # catalog + regions written
+    with open(f"catalog_{sf.image_id}.json") as f:
+        cat = json.load(f)
+    assert len(cat["objs"]) == 2
+
+
+def test_sfinder_tiled_overlapping_grid(mosaic_fits, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, split_img_in_tiles=True, tile_xstep=0.5, tile_ystep=0.5)
+    sf = SFinder(FakeDetector(), cfg)
+    catalog = sf.run_tiled(mosaic_fits)
+    # overlap halo: same 2 physical sources, duplicates merged
+    assert len(catalog["objs"]) == 2

@@ -52,10 +52,17 @@ def are_masks_connected(m1: np.ndarray, m2: np.ndarray, b1=None, b2=None) -> boo
     x1 = min(b1[1], b2[1])
     y2 = max(b1[2], b2[2])
     x2 = max(b1[3], b2[3])
-    c1 = m1[y1:y2, x1:x2].astype(bool)
-    c2 = m2[y1:y2, x1:x2].astype(bool)
-    d1 = ndimage.binary_dilation(c1, structure=_STRUCT8)
-    return bool(np.any(d1 & c2))
+    c1 = m1[y1:y2, x1:x2]
+    c2 = m2[y1:y2, x1:x2]
+    try:
+        from ..native import available, masks_connected as native_connected
+
+        if available():
+            return native_connected(c1, c2)
+    except ImportError:
+        pass
+    d1 = ndimage.binary_dilation(c1.astype(bool), structure=_STRUCT8)
+    return bool(np.any(d1 & c2.astype(bool)))
 
 
 def split_mask_components(mask: np.ndarray) -> List[np.ndarray]:

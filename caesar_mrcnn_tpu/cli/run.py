@@ -1,0 +1,386 @@
+"""Main CLI: ``python -m caesar_mrcnn_tpu.cli.run [opts] {train,test,detect}``.
+
+Flag-compatible re-design of the reference application script
+(reference: scripts/run.py:1263-1766): the same ~60-flag surface, the same
+three run modes, dataset factories for the three loader types, config
+overrides, and weight loading with optional first-layer exclusion for
+grayscale retraining (reference: scripts/run.py:1737-1740).
+
+Differences by design:
+* devices come from the jax runtime (``--ngpu`` maps to data-parallel
+  device count on the mesh);
+* the optimizer flag is real (reference's OPTIMIZER was dead config);
+* multi-host tile-parallel detect uses jax.distributed instead of MPI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import logger
+from ..config import Config, detector_config, inference_config
+
+DEFAULT_LOGS_DIR = "logs"
+
+
+# ----------------------------------------------------------------- parsing
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Train/evaluate/apply the TPU-native radio-source Mask R-CNN."
+    )
+    parser.add_argument("command", metavar="<command>", help="'train', 'test' or 'detect'")
+
+    # COMMON OPTIONS (reference: scripts/run.py:1272-1304)
+    parser.add_argument("--imgsize", type=int, default=256)
+    parser.add_argument("--grayimg", action="store_true", default=False)
+    parser.add_argument("--no_uint8", dest="to_uint8", action="store_false", default=True)
+    parser.add_argument("--no_zscale", dest="zscale", action="store_false", default=True)
+    parser.add_argument("--zscale_contrasts", type=str, default="0.25,0.25,0.25")
+    parser.add_argument("--biascontrast", action="store_true", default=False)
+    parser.add_argument("--bias", type=float, default=0.5)
+    parser.add_argument("--contrast", type=float, default=1.0)
+    parser.add_argument("--no_norm_img", dest="norm_img", action="store_false", default=True)
+
+    parser.add_argument(
+        "--classdict", type=str, default='{"sidelobe":1,"source":2,"galaxy":3}'
+    )
+    parser.add_argument("--classdict_model", type=str, default="")
+    parser.add_argument("--remap_classids", action="store_true", default=False)
+    parser.add_argument("--classid_remap_dict", type=str, default="")
+
+    parser.add_argument("--dataloader", type=str, default="datalist",
+                        choices=["datalist", "datalist_json", "datadir_json"])
+    parser.add_argument("--datalist", default=None)
+    parser.add_argument("--datalist_train", default=None)
+    parser.add_argument("--datalist_val", default=None)
+    parser.add_argument("--datadir", default=None)
+    parser.add_argument("--validation_data_fract", type=float, default=0.1)
+    parser.add_argument("--maxnimgs", type=int, default=-1)
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
+    parser.add_argument("--nthreads", type=int, default=1)
+
+    # TRAIN OPTIONS (reference: scripts/run.py:1306-1352)
+    parser.add_argument("--ngpu", type=int, default=1,
+                        help="number of data-parallel devices on the mesh")
+    parser.add_argument("--nimg_per_gpu", type=int, default=1)
+    parser.add_argument("--nepochs", type=int, default=1)
+    parser.add_argument("--epoch_length", type=int, default=None)
+    parser.add_argument("--nvalidation_steps", type=int, default=None)
+    parser.add_argument("--rpn_anchor_scales", type=str, default="4,8,16,32,64")
+    parser.add_argument("--max_gt_instances", type=int, default=300)
+    parser.add_argument("--backbone", type=str, default="resnet101")
+    parser.add_argument("--backbone_strides", type=str, default="4,8,16,32,64")
+    parser.add_argument("--rpn_nms_threshold", type=float, default=0.7)
+    parser.add_argument("--rpn_train_anchors_per_image", type=int, default=512)
+    parser.add_argument("--train_rois_per_image", type=int, default=512)
+    parser.add_argument("--rpn_anchor_ratios", type=str, default="0.5,1,2")
+    parser.add_argument("--rpn_class_loss_weight", type=float, default=1.0)
+    parser.add_argument("--rpn_bbox_loss_weight", type=float, default=1.0)
+    parser.add_argument("--mrcnn_class_loss_weight", type=float, default=1.0)
+    parser.add_argument("--mrcnn_bbox_loss_weight", type=float, default=1.0)
+    parser.add_argument("--mrcnn_mask_loss_weight", type=float, default=1.0)
+    for name in ("rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
+                 "mrcnn_bbox_loss", "mrcnn_mask_loss"):
+        parser.add_argument(f"--{name}", dest=name, action="store_true", default=True)
+        parser.add_argument(f"--no_{name}", dest=name, action="store_false")
+    parser.add_argument("--mask_loss_function", type=str, default="binary_crossentropy",
+                        choices=["binary_crossentropy", "dice_coef_loss"])
+    parser.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
+    parser.add_argument("--learning_rate", type=float, default=0.0005)
+    parser.add_argument("--trainable_layers", type=str, default="all",
+                        choices=["heads", "3+", "4+", "5+", "all"])
+    parser.add_argument("--weight_classes", action="store_true", default=False)
+    parser.add_argument("--exclude_first_layer_weights", action="store_true", default=False)
+    parser.add_argument("--no_augmentation", dest="use_augmentation",
+                        action="store_false", default=True)
+
+    # TEST OPTIONS (reference: scripts/run.py:1355-1361)
+    parser.add_argument("--scoreThr", type=float, default=0.7)
+    parser.add_argument("--iouThr", type=float, default=0.6)
+    parser.add_argument("--consider_sources_near_mixed_sidelobes",
+                        action="store_true", default=True)
+    parser.add_argument("--no_consider_sources_near_mixed_sidelobes",
+                        dest="consider_sources_near_mixed_sidelobes", action="store_false")
+
+    # DETECT OPTIONS (reference: scripts/run.py:1363-1371)
+    parser.add_argument("--image", type=str, default=None)
+    parser.add_argument("--xmin", type=int, default=-1)
+    parser.add_argument("--xmax", type=int, default=-1)
+    parser.add_argument("--ymin", type=int, default=-1)
+    parser.add_argument("--ymax", type=int, default=-1)
+    parser.add_argument("--detect_outfile", type=str, default="")
+    parser.add_argument("--detect_outfile_json", type=str, default="")
+
+    # PARALLEL OPTIONS (reference: scripts/run.py:1373-1381)
+    parser.add_argument("--split_img_in_tiles", action="store_true", default=False)
+    parser.add_argument("--tile_xsize", type=int, default=512)
+    parser.add_argument("--tile_ysize", type=int, default=512)
+    parser.add_argument("--tile_xstep", type=float, default=1.0)
+    parser.add_argument("--tile_ystep", type=float, default=1.0)
+
+    return parser.parse_args(argv)
+
+
+def validate_args(args) -> int:
+    """(reference: scripts/run.py:1387-1443)."""
+    if args.command not in ("train", "test", "detect"):
+        logger.error("Unknown command %s", args.command)
+        return -1
+    if args.command in ("train", "test"):
+        if args.dataloader in ("datalist", "datalist_json"):
+            has_list = args.datalist or (args.datalist_train and args.datalist_val)
+            if not has_list:
+                logger.error("--datalist (or train+val lists) required for %s", args.command)
+                return -1
+        elif args.dataloader == "datadir_json" and not args.datadir:
+            logger.error("--datadir required for datadir_json loader")
+            return -1
+    if args.command == "detect" and not args.image:
+        logger.error("--image required for detect")
+        return -1
+    return 0
+
+
+# ------------------------------------------------------------------ config
+
+
+def build_config(args) -> Config:
+    """argparse -> Config (replaces the reference's post-construction
+    attribute mutation, scripts/run.py:1624-1708)."""
+    class_dict = json.loads(args.classdict_model or args.classdict)
+    names = ["bkg"] + [None] * len(class_dict)
+    for name, cid in class_dict.items():
+        names[cid] = name
+    class_names = tuple(n or f"class{i}" for i, n in enumerate(names))
+
+    cfg = detector_config(
+        num_classes=len(class_names),
+        class_names=class_names,
+        image_min_dim=args.imgsize,
+        image_max_dim=args.imgsize,
+        num_devices=args.ngpu,
+        images_per_device=args.nimg_per_gpu,
+        rpn_anchor_scales=tuple(int(v) for v in args.rpn_anchor_scales.split(",")),
+        rpn_anchor_ratios=tuple(float(v) for v in args.rpn_anchor_ratios.split(",")),
+        backbone=args.backbone,
+        backbone_strides=tuple(int(v) for v in args.backbone_strides.split(",")),
+        rpn_nms_threshold=args.rpn_nms_threshold,
+        rpn_train_anchors_per_image=args.rpn_train_anchors_per_image,
+        train_rois_per_image=args.train_rois_per_image,
+        max_gt_instances=args.max_gt_instances,
+        image_channel_count=1 if args.grayimg else 3,
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        mask_loss_function=args.mask_loss_function,
+        loss_weights={
+            "rpn_class_loss": args.rpn_class_loss_weight,
+            "rpn_bbox_loss": args.rpn_bbox_loss_weight,
+            "mrcnn_class_loss": args.mrcnn_class_loss_weight,
+            "mrcnn_bbox_loss": args.mrcnn_bbox_loss_weight,
+            "mrcnn_mask_loss": args.mrcnn_mask_loss_weight,
+        },
+        use_losses={
+            "rpn_class_loss": args.rpn_class_loss,
+            "rpn_bbox_loss": args.rpn_bbox_loss,
+            "mrcnn_class_loss": args.mrcnn_class_loss,
+            "mrcnn_bbox_loss": args.mrcnn_bbox_loss,
+            "mrcnn_mask_loss": args.mrcnn_mask_loss,
+        },
+        zscale_stretch=args.zscale,
+        zscale_contrasts=tuple(float(v) for v in args.zscale_contrasts.split(",")),
+        normalize_img=args.norm_img,
+        img_to_uint8=args.to_uint8,
+        img_to_rgb=not args.grayimg,
+        bias_contrast_stretch=args.biascontrast,
+        img_bias=args.bias,
+        img_contrast=args.contrast,
+        score_thr=args.scoreThr,
+        iou_thr=args.iouThr,
+        split_img_in_tiles=args.split_img_in_tiles,
+        tile_xsize=args.tile_xsize,
+        tile_ysize=args.tile_ysize,
+        tile_xstep=args.tile_xstep,
+        tile_ystep=args.tile_ystep,
+    )
+    return cfg
+
+
+# ----------------------------------------------------------------- datasets
+
+
+def _make_dataset(args, cfg: Config):
+    from ..data.dataset import SourceDataset
+
+    ds = SourceDataset()
+    ds.set_class_dict(json.loads(args.classdict))
+    ds.apply_zscale = args.zscale
+    ds.zscale_contrasts = [float(v) for v in args.zscale_contrasts.split(",")]
+    ds.convert_to_uint8 = args.to_uint8
+    ds.convert_to_rgb = not args.grayimg
+    ds.apply_biascontrast = args.biascontrast
+    ds.bias = args.bias
+    ds.contrast = args.contrast
+    return ds
+
+
+def create_train_val_datasets(args, cfg: Config):
+    """(reference: scripts/run.py:893-987)."""
+    from ..data.dataset import create_train_val_sets_from_list
+
+    train_list, val_list = args.datalist_train, args.datalist_val
+    if args.dataloader in ("datalist", "datalist_json") and args.datalist and not train_list:
+        with open(args.datalist) as f:
+            rows = [r for r in f.read().splitlines() if r.strip()]
+        train_list, val_list = create_train_val_sets_from_list(
+            rows, crossval_size=args.validation_data_fract
+        )
+    ds_train = _make_dataset(args, cfg)
+    ds_val = _make_dataset(args, cfg)
+    if args.dataloader == "datalist":
+        ds_train.load_data_from_list(train_list, args.maxnimgs)
+        ds_val.load_data_from_list(val_list, args.maxnimgs)
+    elif args.dataloader == "datalist_json":
+        ds_train.load_data_from_json_list(train_list, args.maxnimgs)
+        ds_val.load_data_from_json_list(val_list, args.maxnimgs)
+    elif args.dataloader == "datadir_json":
+        ds_train.load_data_from_json_search(args.datadir, args.maxnimgs)
+        ds_val.load_data_from_json_search(args.datadir, args.maxnimgs)
+    for ds in (ds_train, ds_val):
+        if args.weight_classes:
+            ds.compute_class_weights()
+        ds.prepare()
+    return ds_train, ds_val
+
+
+def create_test_dataset(args, cfg: Config):
+    """(reference: scripts/run.py:992-1046)."""
+    ds = _make_dataset(args, cfg)
+    if args.dataloader == "datalist":
+        ds.load_data_from_list(args.datalist, args.maxnimgs)
+    elif args.dataloader == "datalist_json":
+        ds.load_data_from_json_list(args.datalist, args.maxnimgs)
+    elif args.dataloader == "datadir_json":
+        ds.load_data_from_json_search(args.datadir, args.maxnimgs)
+    ds.prepare()
+    return ds
+
+
+# --------------------------------------------------------------- run modes
+
+
+def run_train(args, cfg: Config) -> int:
+    """(reference: scripts/run.py:1052-1125 + model.train)."""
+    import jax
+
+    from ..data.generator import TrainingPipeline
+    from ..models.mask_rcnn import init_model
+    from ..parallel.mesh import make_mesh, replicate_tree
+    from ..train import checkpoints as CKPT
+    from ..train.trainer import create_train_state, make_train_step, train_loop
+    from ..utils.anchors import generate_pyramid_anchors
+
+    ds_train, ds_val = create_train_val_datasets(args, cfg)
+    n_train = ds_train.num_images
+    steps_per_epoch = args.epoch_length or max(1, n_train // cfg.batch_size)
+    logger.info("training on %d images, %d steps/epoch", n_train, steps_per_epoch)
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    start_epoch = 0
+    if args.weights:
+        stored = CKPT.load_checkpoint(args.weights)
+        exclude = ["conv1"] if args.exclude_first_layer_weights else None
+        variables, _, _ = CKPT.partial_restore(variables, stored, exclude=exclude)
+        start_epoch = CKPT.epoch_from_path(args.weights)
+
+    state, tx = create_train_state(cfg, variables, layers=args.trainable_layers)
+    pipeline = TrainingPipeline(
+        ds_train, cfg, augmentation=args.use_augmentation, seed=0,
+    )
+    mesh = make_mesh(n_devices=cfg.num_devices) if cfg.num_devices > 1 else None
+    step = make_train_step(model, tx, pipeline.anchors_normalized(), mesh=mesh)
+    if mesh is not None:
+        state = replicate_tree(state, mesh)
+
+    from ..train.observability import MetricsLogger
+
+    batches = pipeline.prefetch()
+    rng = jax.random.PRNGKey(42)
+    os.makedirs(args.logs, exist_ok=True)
+    metrics = MetricsLogger(args.logs)
+    for epoch in range(start_epoch, start_epoch + args.nepochs):
+        state, losses = train_loop(
+            model, state, step, batches, steps_per_epoch, rng,
+            callback=lambda s, ls, e=epoch: metrics.log(e * steps_per_epoch + s, ls),
+        )
+        rng, _ = jax.random.split(rng)
+        ckpt_vars = {"params": jax.device_get(state.params)}
+        if state.batch_stats:
+            ckpt_vars["batch_stats"] = jax.device_get(state.batch_stats)
+        path = CKPT.save_checkpoint(args.logs, cfg.name, epoch + 1, ckpt_vars)
+        metrics.plot_losses(os.path.join(args.logs, "loss_curve.png"))
+        logger.info("epoch %d done, checkpoint: %s (losses=%s)", epoch + 1, path, losses)
+    return 0
+
+
+def _build_detector(args, cfg: Config):
+    from ..inference.detector import build_detector
+
+    icfg = inference_config(cfg)
+    exclude = ["conv1"] if args.exclude_first_layer_weights else None
+    return build_detector(icfg, weights_path=args.weights, exclude=exclude)
+
+
+def run_test(args, cfg: Config) -> int:
+    """(reference: scripts/run.py:1132-1166)."""
+    from ..analysis.tester import ModelTester
+
+    ds = create_test_dataset(args, cfg)
+    detector = _build_detector(args, cfg)
+    tester = ModelTester(detector, detector.config, ds)
+    tester.n_max_img = args.maxnimgs
+    return tester.test()
+
+
+def run_detect(args, cfg: Config) -> int:
+    """(reference: scripts/run.py:1172-1189)."""
+    from ..analysis.sfinder import SFinder
+
+    detector = _build_detector(
+        args, cfg.replace(image_min_dim=cfg.tile_xsize, image_max_dim=cfg.tile_xsize)
+        if cfg.split_img_in_tiles else cfg
+    )
+    sf = SFinder(detector, detector.config)
+    sf.outfile_json = args.detect_outfile_json
+    if cfg.split_img_in_tiles:
+        sf.run_tiled(args.image)
+    else:
+        sf.run(args.image)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_args(argv)
+    if validate_args(args) < 0:
+        return 1
+    cfg = build_config(args)
+    logger.info(cfg.display())
+    if args.command == "train":
+        return run_train(args, cfg)
+    if args.command == "test":
+        return run_test(args, cfg)
+    if args.command == "detect":
+        return run_detect(args, cfg)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,6 +115,11 @@ class TrainingPipeline:
             else tuple(config.image_shape[:2])
         )
 
+    def anchors_normalized(self) -> np.ndarray:
+        """Pyramid anchors in normalized coordinates for the device graph."""
+        h, w = self.config.image_shape[:2]
+        return B.norm_boxes(self.anchors, (h, w))
+
     # ------------------------------------------------------------- sample
     def make_sample(self, image_id: int) -> Dict[str, np.ndarray]:
         cfg = self.config

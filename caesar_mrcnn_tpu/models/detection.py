@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import nms_padded
+from ..ops.nms import nms_padded_auto
 from ..utils.boxes import apply_box_deltas_jax, clip_boxes_jax
 
 
@@ -53,7 +53,7 @@ def refine_detections_single(
     for cls in range(1, num_classes):
         cls_mask = keep & (class_ids == cls)
         cls_scores = jnp.where(cls_mask, class_scores, -jnp.inf)
-        idx, valid = nms_padded(refined, cls_scores, max_instances, nms_threshold)
+        idx, valid = nms_padded_auto(refined, cls_scores, max_instances, nms_threshold)
         kept_cls = jnp.zeros((r,), dtype=bool).at[idx].set(valid)
         kept_any = kept_any | kept_cls
 

@@ -14,7 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import nms_padded
+from ..ops.nms import nms_padded_auto
 from ..utils.boxes import apply_box_deltas_jax, clip_boxes_jax
 
 
@@ -32,7 +32,7 @@ def _propose_single(
     top_anchors = anchors[ix]
     boxes = apply_box_deltas_jax(top_anchors, top_deltas)
     boxes = clip_boxes_jax(boxes, jnp.array([0.0, 0.0, 1.0, 1.0], dtype=jnp.float32))
-    idx, valid = nms_padded(boxes, top_scores, proposal_count, nms_threshold)
+    idx, valid = nms_padded_auto(boxes, top_scores, proposal_count, nms_threshold)
     proposals = jnp.where(valid[:, None], boxes[idx], 0.0)
     return proposals, valid
 

@@ -70,6 +70,72 @@ def _self_suppress(adj: jnp.ndarray) -> jnp.ndarray:
     return ~jnp.any(adj > 0, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_output",))
+def nms_padded_global(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_output: int,
+    iou_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS via a single global suppression-graph fixpoint.
+
+    Builds the full [N, N] upper-triangular suppression adjacency once and
+    runs the edge-removal fixpoint globally: each iteration finds
+    undominated boxes, deletes the outgoing edges of every box they
+    suppress, and at fixpoint survivors are exactly the greedy-NMS picks.
+    Each iteration is O(N^2) *vectorized* work and the loop converges in
+    O(log chain-length) steps, so for moderate N (<= ~8k proposals) this
+    beats the tiled variant's O((N/T)^2) *sequential* tile passes by a wide
+    margin on TPU. Same contract as :func:`nms_padded`.
+    """
+    n = boxes.shape[0]
+    valid_in = scores > -jnp.inf
+    order = jnp.argsort(-scores, stable=True)
+    sboxes = jnp.where(valid_in[order][:, None], boxes[order], 0.0)
+    svalid = valid_in[order]
+
+    iou = _pairwise_iou(sboxes, sboxes)
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    adj = upper & (iou > iou_threshold)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        a, _ = state
+        undominated = ~jnp.any(a, axis=0)
+        suppressed = jnp.any(a & undominated[:, None], axis=0)
+        new_a = a & ~suppressed[:, None]
+        return new_a, jnp.any(new_a != a)
+
+    adj, _ = jax.lax.while_loop(cond, body, (adj, jnp.array(True)))
+    survive = svalid & ~jnp.any(adj, axis=0)
+
+    rank = jnp.arange(n, dtype=jnp.float32)
+    pick_score = jnp.where(survive, -rank, -jnp.inf)
+    _, top = jax.lax.top_k(pick_score, max_output)
+    top_valid = survive[top]
+    idx = jnp.where(top_valid, order[top], 0)
+    return idx.astype(jnp.int32), top_valid
+
+
+# Above this box count the full [N, N] adjacency gets memory-expensive
+# (N^2 bools per image, batched) — fall back to the tiled variant.
+GLOBAL_NMS_MAX_N = 8192
+
+
+def nms_padded_auto(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_output: int,
+    iou_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if boxes.shape[0] <= GLOBAL_NMS_MAX_N:
+        return nms_padded_global(boxes, scores, max_output, iou_threshold)
+    return nms_padded(boxes, scores, max_output, iou_threshold)
+
+
 @functools.partial(jax.jit, static_argnames=("max_output", "tile"))
 def nms_padded(
     boxes: jnp.ndarray,

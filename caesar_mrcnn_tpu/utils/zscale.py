@@ -87,9 +87,18 @@ def zscale_stretch(data: np.ndarray, contrast: float = 0.25) -> np.ndarray:
     """Map ``data`` through the zscale interval into [0, 1] (clipped).
 
     Equivalent of ``ZScaleInterval(contrast)(data)``
-    (reference: mrcnn/utils.py:1166-1172).
+    (reference: mrcnn/utils.py:1166-1172). Uses the native C++ limits
+    kernel when libfastops is built.
     """
-    vmin, vmax = zscale_limits(data, contrast=contrast)
+    try:
+        from ..native import available, zscale_limits as native_limits
+
+        if available():
+            vmin, vmax = native_limits(data, contrast=contrast)
+        else:
+            vmin, vmax = zscale_limits(data, contrast=contrast)
+    except ImportError:
+        vmin, vmax = zscale_limits(data, contrast=contrast)
     if vmax <= vmin:
         return np.zeros_like(data, dtype=np.float32)
     out = (np.asarray(data, dtype=np.float32) - vmin) / (vmax - vmin)

@@ -24,8 +24,8 @@ def detector():
         num_classes=4,
         class_names=("bkg", "sidelobe", "source", "galaxy"),
         images_per_device=1,
-        pre_nms_limit=512,
-        post_nms_rois_inference=100,
+        pre_nms_limit=256,
+        post_nms_rois_inference=64,
         detection_max_instances=16,
         compute_dtype="float32",
         score_thr=0.0,  # random weights: accept anything the NMS leaves

@@ -26,9 +26,9 @@ def small_cfg():
         class_names=("bkg", "sidelobe", "source", "galaxy"),
         images_per_device=1,
         rpn_anchor_scales=(8, 16, 32, 64, 128),
-        pre_nms_limit=512,
-        post_nms_rois_training=200,
-        post_nms_rois_inference=100,
+        pre_nms_limit=256,
+        post_nms_rois_training=128,
+        post_nms_rois_inference=64,
         train_rois_per_image=64,
         detection_max_instances=16,
         max_gt_instances=8,

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from caesar_mrcnn_tpu.ops.nms import nms_boxes_padded, nms_padded
+from caesar_mrcnn_tpu.ops.nms import nms_boxes_padded, nms_padded, nms_padded_global
 from caesar_mrcnn_tpu.utils.boxes import non_max_suppression
 
 
@@ -29,6 +29,28 @@ def test_nms_matches_oracle(n, thr):
     got = idx[valid]
     exp = expected[:max_out]
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("n,thr", [(10, 0.5), (300, 0.3), (777, 0.7), (1500, 0.5)])
+def test_global_nms_matches_oracle(n, thr):
+    rng = np.random.RandomState(n + 1)
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    expected = non_max_suppression(boxes, scores, thr)
+    max_out = min(n, 200)
+    idx, valid = nms_padded_global(boxes, scores, max_out, thr)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, expected[:max_out])
+
+
+def test_global_nms_invalid_entries():
+    boxes = np.array(
+        [[0, 0, 0.5, 0.5], [0.5, 0.5, 1, 1], [0, 0, 0.5, 0.5]], dtype=np.float32
+    )
+    scores = np.array([0.9, -np.inf, 0.8], dtype=np.float32)
+    idx, valid = nms_padded_global(boxes, scores, 3, 0.5)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, [0])
 
 
 def test_nms_heavy_overlap():

@@ -1,0 +1,191 @@
+"""Training: pipeline -> train step -> loss decreases; checkpoint roundtrip;
+layer freezing; optimizer selection."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from caesar_mrcnn_tpu.config import detector_config
+from caesar_mrcnn_tpu.data.dataset import SourceDataset
+from caesar_mrcnn_tpu.data.generator import TrainingPipeline
+from caesar_mrcnn_tpu.models.mask_rcnn import init_model
+from caesar_mrcnn_tpu.train import checkpoints as CKPT
+from caesar_mrcnn_tpu.train.trainer import (
+    create_train_state,
+    decay_mask,
+    make_train_step,
+    trainable_mask,
+)
+from caesar_mrcnn_tpu.utils import fits as F
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return detector_config(
+        backbone="custom",
+        image_min_dim=64,
+        image_max_dim=64,
+        num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=2,
+        num_devices=1,
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+        rpn_train_anchors_per_image=64,
+        pre_nms_limit=256,
+        post_nms_rois_training=64,
+        train_rois_per_image=32,
+        max_gt_instances=4,
+        detection_max_instances=8,
+        compute_dtype="float32",
+        use_mini_mask=True,
+        mini_mask_shape=(28, 28),
+        optimizer="sgd",
+        learning_rate=0.002,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory, tiny_cfg):
+    tmp = tmp_path_factory.mktemp("data")
+    ds = SourceDataset()
+    ds.set_class_dict({"sidelobe": 1, "source": 2, "galaxy": 3})
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        img = rng.normal(0, 0.02, (64, 64)).astype(np.float32)
+        y, x = 10 + 6 * i, 12 + 5 * i
+        img[y : y + 14, x : x + 14] += 5.0
+        mask = np.zeros((64, 64), np.float32)
+        mask[y : y + 14, x : x + 14] = 1.0
+        ip = str(tmp / f"img{i}.fits")
+        mp = str(tmp / f"mask{i}.fits")
+        F.write_fits(img, ip)
+        F.write_fits(mask, mp)
+        lst = str(tmp / "list.dat")
+    rows = [
+        f"{tmp}/img{i}.fits,{tmp}/mask{i}.fits,source" for i in range(4)
+    ]
+    with open(lst, "w") as f:
+        f.write("\n".join(rows))
+    assert ds.load_data_from_list(lst) == 0
+    ds.prepare()
+    return ds
+
+
+def test_pipeline_shapes(tiny_cfg, tiny_dataset):
+    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1, augmentation=True)
+    batch = next(pipe.batches())
+    b = tiny_cfg.batch_size
+    a = pipe.anchors.shape[0]
+    g = tiny_cfg.max_gt_instances
+    assert batch["images"].shape == (b, 64, 64, 3)
+    assert batch["rpn_match"].shape == (b, a)
+    assert batch["rpn_deltas"].shape == (b, a, 4)
+    assert batch["gt_class_ids"].shape == (b, g)
+    assert batch["gt_boxes"].shape == (b, g, 4)
+    assert batch["gt_masks"].shape == (b, 28, 28, g)
+    # at least one positive anchor and one GT per image
+    assert (batch["rpn_match"] == 1).sum() >= b
+    assert (batch["gt_class_ids"] > 0).sum() == b
+    # normalized gt boxes
+    assert batch["gt_boxes"].max() <= 1.0
+
+
+def test_train_step_reduces_loss(tiny_cfg, tiny_dataset):
+    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1)
+    model, variables = init_model(tiny_cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(tiny_cfg, variables)
+    step = make_train_step(model, tx, pipe.anchors_normalized())
+    batch = next(pipe.batches())
+    rng = jax.random.PRNGKey(0)
+    losses0 = None
+    for i in range(6):
+        state, losses = step(state, batch, rng)  # same batch, same rng: pure overfit
+        if losses0 is None:
+            losses0 = {k: float(v) for k, v in losses.items()}
+    final = {k: float(v) for k, v in losses.items()}
+    assert np.isfinite(final["total_loss"])
+    assert final["total_loss"] < losses0["total_loss"]
+    assert int(state.step) == 6
+
+
+def test_trainable_mask_stages(tiny_cfg):
+    model, variables = init_model(tiny_cfg, jax.random.PRNGKey(0))
+    params = variables["params"]
+    mask_heads = trainable_mask(params, "heads")
+    leaves = jax.tree_util.tree_leaves_with_path(mask_heads)
+    backbone_frozen = [
+        v for p, v in leaves if "backbone" in str(p)
+    ]
+    head_trainable = [
+        v for p, v in leaves if "classifier_head" in str(p) or "rpn" in str(p)
+    ]
+    assert not any(backbone_frozen)
+    assert all(head_trainable)
+    mask_all = trainable_mask(params, "all")
+    assert all(v for _, v in jax.tree_util.tree_leaves_with_path(mask_all))
+    # 5+ trains res5 but not res2
+    mask5 = trainable_mask(params, "5+")
+    for p, v in jax.tree_util.tree_leaves_with_path(mask5):
+        s = str(p)
+        if "res5" in s:
+            assert v
+        if "res2" in s:
+            assert not v
+
+
+def test_decay_mask_excludes_bn_and_bias(tiny_cfg):
+    model, variables = init_model(tiny_cfg, jax.random.PRNGKey(0))
+    mask = decay_mask(variables["params"])
+    for p, v in jax.tree_util.tree_leaves_with_path(mask):
+        s = "/".join(str(getattr(k, "key", k)) for k in p)
+        if s.endswith("bias"):
+            assert not v, s
+        if "BatchNorm" in s or "bn" in s.lower():
+            assert not v, s
+
+
+def test_checkpoint_roundtrip_and_partial_restore(tiny_cfg, tmp_path):
+    model, variables = init_model(tiny_cfg, jax.random.PRNGKey(0))
+    ckpt_vars = {"params": variables["params"]}
+    if "batch_stats" in variables:
+        ckpt_vars["batch_stats"] = variables["batch_stats"]
+    path = CKPT.save_checkpoint(str(tmp_path), "testmodel", 3, ckpt_vars)
+    assert CKPT.find_last(str(tmp_path)) == path
+    assert CKPT.epoch_from_path(path) == 3
+
+    stored = CKPT.load_checkpoint(path)
+    # full restore: all leaves match
+    model2, init2 = init_model(tiny_cfg, jax.random.PRNGKey(7))
+    init_vars = {"params": init2["params"]}
+    if "batch_stats" in init2:
+        init_vars["batch_stats"] = init2["batch_stats"]
+    merged, loaded, skipped = CKPT.partial_restore(init_vars, stored)
+    assert not skipped
+    sample_stored = jax.tree_util.tree_leaves(stored["params"])[0]
+    sample_merged = jax.tree_util.tree_leaves(merged["params"])[0]
+    np.testing.assert_array_equal(np.asarray(sample_stored), np.asarray(sample_merged))
+
+    # partial restore with class-count change: heads skipped, backbone loaded
+    cfg6 = tiny_cfg.replace(num_classes=6, class_names=("bkg", "a", "b", "c", "d", "e"))
+    model6, init6 = init_model(cfg6, jax.random.PRNGKey(1))
+    init_vars6 = {"params": init6["params"]}
+    if "batch_stats" in init6:
+        init_vars6["batch_stats"] = init6["batch_stats"]
+    merged6, loaded6, skipped6 = CKPT.partial_restore(init_vars6, stored)
+    assert loaded6 and skipped6  # backbone loads, class-dependent heads skip
+    assert any("classifier_head" in s or "mask_head" in s for s in skipped6)
+
+    # exclude first conv (gray-input retrain, reference: scripts/run.py:1738)
+    merged7, loaded7, skipped7 = CKPT.partial_restore(
+        init_vars, stored, exclude=[r"backbone/conv1"]
+    )
+    assert any("conv1" in s for s in skipped7)
+
+
+def test_adam_optimizer_builds(tiny_cfg):
+    cfg = tiny_cfg.replace(optimizer="adam")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables, layers="heads")
+    assert state.opt_state is not None

@@ -197,6 +197,9 @@ class SFinder:
         )
         return self.sources
 
+    # API-parity alias (reference name: sfinder.py:549)
+    run_parallel = run_tiled
+
     # ------------------------------------------------------- tile detect
     def _tile_sources(
         self, tile_idx: int, tile, tiles, image: np.ndarray, r: Dict

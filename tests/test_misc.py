@@ -1,0 +1,133 @@
+"""Misc coverage: eval CLIs, introspection, debug ROIs, meta codec,
+observability, visualize."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_eval_voc_cli(tmp_path, monkeypatch):
+    from caesar_mrcnn_tpu.cli import eval_voc
+    from caesar_mrcnn_tpu.evalmetrics.voc import BBox, write_padilla_dirs
+
+    gts = [BBox("img1", "source", (10, 10, 20, 20)),
+           BBox("img1", "galaxy", (50, 50, 80, 80))]
+    dets = [BBox("img1", "source", (10, 10, 20, 20), 0.9),
+            BBox("img1", "galaxy", (51, 50, 80, 80), 0.8)]
+    write_padilla_dirs(gts, dets, str(tmp_path / "gt"), str(tmp_path / "det"))
+    monkeypatch.chdir(tmp_path)
+    rc = eval_voc.main(["-gt", str(tmp_path / "gt"), "-det", str(tmp_path / "det"),
+                        "-sp", str(tmp_path / "results")])
+    assert rc == 0
+    txt = open(tmp_path / "results" / "results.txt").read()
+    assert "mAP: 100.00%" in txt
+    assert os.path.isfile(tmp_path / "results" / "source.png")
+
+
+def test_eval_map_cli(tmp_path):
+    from caesar_mrcnn_tpu.cli import eval_map
+
+    gt = {"img1": [[10, 10, 20, 20]]}
+    pred = {"img1": {"boxes": [[10, 10, 20, 20]], "scores": [0.9]}}
+    gt_path = str(tmp_path / "gt.json")
+    pred_path = str(tmp_path / "pred.json")
+    json.dump(gt, open(gt_path, "w"))
+    json.dump(pred, open(pred_path, "w"))
+    rc = eval_map.main(["--gt", gt_path, "--pred", pred_path])
+    assert rc == 0
+
+
+def test_generate_random_rois():
+    from caesar_mrcnn_tpu.models.debug_rois import generate_random_rois
+
+    gt = np.array([[20, 20, 40, 40], [60, 60, 90, 80]], dtype=np.int32)
+    rois = generate_random_rois((128, 128), 50, gt, np.random.RandomState(0))
+    assert rois.shape == (50, 4)
+    assert (rois[:, 2] > rois[:, 0]).all()
+    assert (rois[:, 3] > rois[:, 1]).all()
+    assert rois.min() >= 0 and rois.max() <= 128
+
+
+def test_meta_codec_roundtrip():
+    from caesar_mrcnn_tpu.models.meta import compose_image_meta, parse_image_meta
+
+    meta = compose_image_meta(7, (132, 132, 3), (256, 256, 3), (10, 10, 246, 246),
+                              1.9394, np.array([1, 1, 1, 0]))
+    parsed = parse_image_meta(meta[None])
+    assert parsed["image_id"][0] == 7
+    assert parsed["original_image_shape"][0].tolist() == [132, 132, 3]
+    assert parsed["image_shape"][0].tolist() == [256, 256, 3]
+    assert parsed["window"][0].tolist() == [10, 10, 246, 246]
+    assert abs(parsed["scale"][0] - 1.9394) < 1e-4
+    assert parsed["active_class_ids"][0].tolist() == [1, 1, 1, 0]
+
+
+def test_metrics_logger_and_plot(tmp_path):
+    from caesar_mrcnn_tpu.train.observability import MetricsLogger, PhaseTimer
+
+    ml = MetricsLogger(str(tmp_path))
+    for s in range(5):
+        ml.log(s, {"total_loss": 1.0 / (s + 1), "rpn_class_loss": 0.5 / (s + 1)})
+    out = str(tmp_path / "loss.png")
+    ml.plot_losses(out)
+    assert os.path.isfile(out)
+    lines = open(ml.path).read().splitlines()
+    assert len(lines) == 5
+    row = json.loads(lines[-1])
+    assert row["step"] == 4
+
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        pass
+    with pt.phase("b"):
+        pass
+    rep = pt.report()
+    assert "a:" in rep and "b:" in rep
+
+
+def test_visualize_display_instances(tmp_path):
+    from caesar_mrcnn_tpu.analysis.visualize import (
+        display_instances,
+        display_weight_stats,
+        plot_precision_recall,
+    )
+
+    image = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[10, 10, 30, 30]])
+    masks = np.zeros((64, 64, 1), bool)
+    masks[10:30, 10:30, 0] = True
+    out = str(tmp_path / "vis.png")
+    display_instances(image, boxes, masks, np.array([1]),
+                      ["bkg", "source"], np.array([0.9]), outfile=out)
+    assert os.path.isfile(out)
+    out2 = str(tmp_path / "pr.png")
+    plot_precision_recall(0.8, np.array([1.0, 0.9, 0.8]), np.array([0.1, 0.5, 1.0]),
+                          outfile=out2)
+    assert os.path.isfile(out2)
+    stats = display_weight_stats({"layer": {"kernel": np.ones((3, 3))}})
+    assert stats[0]["name"] == "layer/kernel"
+
+
+def test_introspection(tmp_path):
+    import jax
+
+    from caesar_mrcnn_tpu.config import detector_config
+    from caesar_mrcnn_tpu.models.introspection import (
+        count_params,
+        get_trainable_layers,
+    )
+    from caesar_mrcnn_tpu.models.mask_rcnn import init_model
+
+    cfg = detector_config(
+        backbone="custom", image_min_dim=64, image_max_dim=64,
+        num_classes=2, class_names=("bkg", "source"),
+        rpn_anchor_scales=(8, 16, 32, 64, 128), compute_dtype="float32",
+    )
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    counts = count_params(variables["params"])
+    assert counts["total"] > 1e5
+    assert "backbone" in counts
+    layers = get_trainable_layers(variables["params"], "heads")
+    assert layers and not any("backbone/res2" in l for l in layers)

@@ -259,7 +259,13 @@ def forward_train(
     rois, target_class_ids, target_deltas, target_masks = detection_targets_batch(
         rng, proposals, gt_class_ids, gt_boxes, gt_masks, cfg
     )
+    # Targets are labels: no gradient may flow through the sampling graph
+    # (it contains guarded 0/0 selects whose untaken branches would emit
+    # NaN cotangents into the RPN).
     rois = jax.lax.stop_gradient(rois)
+    target_class_ids = jax.lax.stop_gradient(target_class_ids)
+    target_deltas = jax.lax.stop_gradient(target_deltas)
+    target_masks = jax.lax.stop_gradient(target_masks)
 
     image_shape = cfg.image_shape[:2]
     pooled = pyramid_roi_align_batched(pyramid, rois, image_shape, cfg.pool_size)

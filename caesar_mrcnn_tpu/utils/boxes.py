@@ -139,7 +139,9 @@ def overlaps_jax(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise IoU [N1, N2] on device; zero-area pairs give 0.
 
     Fully batched — replaces the reference's tile/reshape emulation
-    (reference: mrcnn/model.py:541-567).
+    (reference: mrcnn/model.py:541-567). The division is guarded *inside*
+    the select (``jnp.where(c, a/b, 0)`` with b=0 produces NaN gradients
+    through the untaken branch).
     """
     y1 = jnp.maximum(boxes1[:, None, 0], boxes2[None, :, 0])
     x1 = jnp.maximum(boxes1[:, None, 1], boxes2[None, :, 1])
@@ -149,7 +151,13 @@ def overlaps_jax(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
     area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
     union = area1[:, None] + area2[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+# exp(dh/dw) clamp: an untrained RPN can emit huge log-scale deltas; the
+# unguarded exp overflows to inf and poisons downstream box math. The cap
+# matches the Detectron convention (max box scale change 1000/16).
+_MAX_DELTA_LOG = 4.135166556742356
 
 
 def apply_box_deltas_jax(boxes: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
@@ -158,8 +166,8 @@ def apply_box_deltas_jax(boxes: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray
     w = boxes[..., 3] - boxes[..., 1]
     cy = boxes[..., 0] + 0.5 * h + deltas[..., 0] * h
     cx = boxes[..., 1] + 0.5 * w + deltas[..., 1] * w
-    h = h * jnp.exp(deltas[..., 2])
-    w = w * jnp.exp(deltas[..., 3])
+    h = h * jnp.exp(jnp.clip(deltas[..., 2], -_MAX_DELTA_LOG, _MAX_DELTA_LOG))
+    w = w * jnp.exp(jnp.clip(deltas[..., 3], -_MAX_DELTA_LOG, _MAX_DELTA_LOG))
     y1 = cy - 0.5 * h
     x1 = cx - 0.5 * w
     return jnp.stack([y1, x1, y1 + h, x1 + w], axis=-1)

@@ -28,10 +28,11 @@ def make_dataset(tmp, n_images=16, size=128, seed=0):
     for i in range(n_images):
         img = rng.normal(0.0, 0.05, (size, size)).astype(np.float32)
         mask = np.zeros((size, size), np.float32)
-        # 1-3 gaussian blobs per image
+        # 1-3 gaussian blobs per image, sized for good anchor coverage
+        # (~20-35 px, between the 16/32 anchor scales)
         for _ in range(rng.randint(1, 4)):
-            cy, cx = rng.randint(20, size - 20, 2)
-            s = rng.uniform(2.0, 5.0)
+            cy, cx = rng.randint(24, size - 24, 2)
+            s = rng.uniform(3.5, 6.0)
             yy, xx = np.mgrid[0:size, 0:size]
             blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
             img += 10.0 * blob.astype(np.float32)
@@ -112,14 +113,23 @@ def main(steps=150):
     det.variables = {"params": jax.device_get(state.params)}
     if state.batch_stats:
         det.variables["batch_stats"] = jax.device_get(state.batch_stats)
-    img = ds.load_image(0)
-    r = det.detect([img])[0]
-    good = [(c, round(float(s), 3)) for c, s in zip(r["class_ids"], r["scores"]) if s > 0.5]
-    print(f"detections on train image 0: {len(r['class_ids'])} total, "
-          f"{len(good)} with score>0.5: {good[:8]}")
-    gt_mask, _ = ds.load_mask(0)
-    print(f"(image has {gt_mask.shape[-1]} GT instance(s))")
+    n_det = 0
+    for img_id in range(3):
+        img = ds.load_image(img_id)
+        r = det.detect([img])[0]
+        good = [
+            (int(c), round(float(s), 3))
+            for c, s in zip(r["class_ids"], r["scores"])
+            if s > 0.3
+        ]
+        gt_mask, _ = ds.load_mask(img_id)
+        print(
+            f"train image {img_id}: {len(r['class_ids'])} detections, "
+            f"{len(good)} with score>0.3 {good[:6]} (GT: {gt_mask.shape[-1]})"
+        )
+        n_det += len(good)
     assert final_loss < first_loss, "loss did not decrease"
+    print("OK" if n_det else "WARNING: no detections emerged yet (train longer)")
     return 0
 
 

@@ -11,7 +11,7 @@ params and float32 BN statistics; XLA fuses BN+ReLU into the convolutions.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

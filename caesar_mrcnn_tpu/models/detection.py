@@ -11,7 +11,6 @@ results, fixed shapes, and the per-class passes batch cleanly.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ the param tree itself is the layer inventory.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np

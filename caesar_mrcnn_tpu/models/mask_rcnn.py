@@ -13,8 +13,7 @@ orchestration functions. Key idiom changes for TPU:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax

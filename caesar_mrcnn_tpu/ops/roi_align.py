@@ -18,7 +18,7 @@ Sampling matches ``tf.image.crop_and_resize``: for normalized box
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ buffer so the kernel's DMA source indexing is uniform.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

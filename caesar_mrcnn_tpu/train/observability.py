@@ -17,7 +17,6 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from .. import logger
 
 
 class MetricsLogger:

@@ -18,7 +18,6 @@ Re-design of the reference's compile/train machinery
 
 from __future__ import annotations
 
-import functools
 import re
 import time
 from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Tuple
@@ -27,14 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import freeze, unfreeze
 
 from .. import logger
 from ..config import Config
 from ..models.losses import compute_losses
 from ..models.mask_rcnn import MaskRCNN, forward_train
 from ..models.meta import parse_image_meta_jax
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, replicated
 
 # --------------------------------------------------------------- freezing
 

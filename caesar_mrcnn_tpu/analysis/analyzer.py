@@ -371,6 +371,14 @@ class Analyzer:
         return 0
 
 
+def inspect_results(analyzer: "Analyzer", tester, image_id, image_path: str = "") -> int:
+    """API-parity helper mirroring the reference's per-image inspect
+    (reference: mrcnn/analyze.py:907-1031): detection + GT matching +
+    bookkeeping for one dataset image, delegated to ModelTester logic."""
+    tester.inspect_image(image_id)
+    return 0
+
+
 class NumpyEncoder(json.JSONEncoder):
     """json encoder tolerant of numpy scalars/arrays
     (reference: mrcnn/sfinder.py NumpyEncoder)."""

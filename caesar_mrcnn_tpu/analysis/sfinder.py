@@ -87,13 +87,23 @@ class SFinder:
         return 0
 
     # ------------------------------------------------------------ serial
-    def run(self, image_path: str) -> Dict:
-        """Whole-image source finding (reference: sfinder.py:450-523)."""
+    def run(
+        self,
+        image_path: str,
+        xmin: int = -1,
+        xmax: int = -1,
+        ymin: int = -1,
+        ymax: int = -1,
+    ) -> Dict:
+        """Whole-image (or sub-window) source finding
+        (reference: sfinder.py:450-523; window knobs IMG_XMIN..IMG_YMAX,
+        scripts/run.py:215-219)."""
         t0 = time.time()
         self.set_img_size_params(image_path)
         cfg = self.config
         out = F.read_fits(
             image_path,
+            xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
             stretch=cfg.zscale_stretch,
             zscale_contrasts=cfg.zscale_contrasts,
             normalize=cfg.normalize_img,
@@ -110,6 +120,9 @@ class SFinder:
         an = self.analyzer
         an.image = image
         an.image_id = self.image_id
+        # sub-window reads report catalog coords in the full-image frame
+        an.image_xmin = max(xmin, 0)
+        an.image_ymin = max(ymin, 0)
         an.extract_det_masks(r["masks"], r["class_ids"], r["scores"])
         an.compute_obj_pars()
         an.make_json_results()

@@ -363,7 +363,8 @@ def run_detect(args, cfg: Config) -> int:
     if cfg.split_img_in_tiles:
         sf.run_tiled(args.image)
     else:
-        sf.run(args.image)
+        sf.run(args.image, xmin=args.xmin, xmax=args.xmax,
+               ymin=args.ymin, ymax=args.ymax)
     return 0
 
 

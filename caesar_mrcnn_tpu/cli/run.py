@@ -83,6 +83,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--rpn_train_anchors_per_image", type=int, default=512)
     parser.add_argument("--train_rois_per_image", type=int, default=512)
     parser.add_argument("--rpn_anchor_ratios", type=str, default="0.5,1,2")
+    # capacity knobs (defaults = reference values; lower for small images)
+    parser.add_argument("--pre_nms_limit", type=int, default=6000)
+    parser.add_argument("--post_nms_rois_training", type=int, default=2000)
+    parser.add_argument("--post_nms_rois_inference", type=int, default=1000)
+    parser.add_argument("--detection_max_instances", type=int, default=100)
+    parser.add_argument("--use_mini_mask", action="store_true", default=False)
     parser.add_argument("--rpn_class_loss_weight", type=float, default=1.0)
     parser.add_argument("--rpn_bbox_loss_weight", type=float, default=1.0)
     parser.add_argument("--mrcnn_class_loss_weight", type=float, default=1.0)
@@ -177,6 +183,11 @@ def build_config(args) -> Config:
         rpn_train_anchors_per_image=args.rpn_train_anchors_per_image,
         train_rois_per_image=args.train_rois_per_image,
         max_gt_instances=args.max_gt_instances,
+        pre_nms_limit=args.pre_nms_limit,
+        post_nms_rois_training=args.post_nms_rois_training,
+        post_nms_rois_inference=args.post_nms_rois_inference,
+        detection_max_instances=args.detection_max_instances,
+        use_mini_mask=args.use_mini_mask,
         image_channel_count=1 if args.grayimg else 3,
         optimizer=args.optimizer,
         learning_rate=args.learning_rate,

@@ -39,6 +39,10 @@ class ModelTester:
         self.score_thr = config.score_thr
         self.iou_thr = config.iou_thr
         self.n_max_img = -1
+        # Optional detected-id -> GT-id remap, used when the model was
+        # trained with a different class dictionary
+        # (reference flags: scripts/run.py:1289-1291).
+        self.classid_remap_dict: Dict[int, int] = {}
         self.compute_map = True
         self.save_plots = False
         self.outdir = "."
@@ -98,6 +102,14 @@ class ModelTester:
         an.image_id = image_id
         an.image_metadata = metadata
         an.extract_det_masks(r["masks"], r["class_ids"], r["scores"])
+        if self.classid_remap_dict:
+            an.class_ids_final = [
+                self.classid_remap_dict.get(c, c) for c in an.class_ids_final
+            ]
+            an.class_names_final = [
+                self.class_names[c] if 0 <= c < len(self.class_names) else str(c)
+                for c in an.class_ids_final
+            ]
 
         # GT merge + matching
         gt_masks, gt_ids, gt_members = extract_gt_masks(gt_masks_raw, gt_class_ids_raw)

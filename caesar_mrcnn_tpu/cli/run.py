@@ -189,6 +189,7 @@ def build_config(args) -> Config:
         detection_max_instances=args.detection_max_instances,
         use_mini_mask=args.use_mini_mask,
         image_channel_count=1 if args.grayimg else 3,
+        mean_pixel=(0.0,) if args.grayimg else (0.0, 0.0, 0.0),
         optimizer=args.optimizer,
         learning_rate=args.learning_rate,
         mask_loss_function=args.mask_loss_function,
@@ -358,6 +359,9 @@ def run_test(args, cfg: Config) -> int:
     detector = _build_detector(args, cfg)
     tester = ModelTester(detector, detector.config, ds)
     tester.n_max_img = args.maxnimgs
+    if args.remap_classids and args.classid_remap_dict:
+        remap = json.loads(args.classid_remap_dict)
+        tester.classid_remap_dict = {int(k): int(v) for k, v in remap.items()}
     return tester.test()
 
 

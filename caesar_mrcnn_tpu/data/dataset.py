@@ -311,7 +311,10 @@ class SourceDataset(Dataset):
         )
         if out is None:
             raise IOError(f"cannot read {filename}")
-        return out[0]
+        image = out[0]
+        if image.ndim == 2:  # grayscale mode: add the channel axis
+            image = image[..., None]
+        return image
 
     def load_mask(self, image_id) -> Tuple[np.ndarray, np.ndarray]:
         """Stack per-object binary FITS masks (reference: scripts/run.py:697-723)."""

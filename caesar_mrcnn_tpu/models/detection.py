@@ -46,15 +46,28 @@ def refine_detections_single(
     if min_confidence:
         keep = keep & (class_scores >= min_confidence)
 
-    # Per-class NMS over known foreground classes (static unroll — the
-    # class count is small and fixed).
-    kept_any = jnp.zeros((r,), dtype=bool)
-    for cls in range(1, num_classes):
-        cls_mask = keep & (class_ids == cls)
-        cls_scores = jnp.where(cls_mask, class_scores, -jnp.inf)
-        idx, valid = nms_padded_auto(refined, cls_scores, max_instances, nms_threshold)
-        kept_cls = jnp.zeros((r,), dtype=bool).at[idx].set(valid)
-        kept_any = kept_any | kept_cls
+    # Per-class NMS in ONE kernel call via the coordinate-offset trick:
+    # boxes are normalized to [0, 1], so shifting each class's boxes by
+    # class_id * 2 makes cross-class IoU exactly 0 — one NMS pass then
+    # equals independent per-class NMS (the reference's tf.map_fn loop,
+    # mrcnn/model.py:820-846).
+    offset = class_ids.astype(jnp.float32) * 2.0
+    boxes_for_nms = refined + offset[:, None]
+    nms_scores = jnp.where(keep, class_scores, -jnp.inf)
+    max_out = min(r, max_instances * max(num_classes - 1, 1))
+    idx, valid = nms_padded_auto(boxes_for_nms, nms_scores, max_out, nms_threshold)
+    kept_any = jnp.zeros((r,), dtype=bool).at[idx].set(valid)
+    # cap per-class survivors at max_instances (reference caps each class's
+    # NMS output, mrcnn/model.py:826-832)
+    if num_classes > 2:
+        order = jnp.argsort(-jnp.where(kept_any, class_scores, -jnp.inf), stable=True)
+        ranked_cls = class_ids[order]
+        within = jnp.cumsum(
+            jax.nn.one_hot(ranked_cls, num_classes, dtype=jnp.int32), axis=0
+        )
+        rank_in_class = jnp.take_along_axis(within, ranked_cls[:, None], axis=1)[:, 0]
+        over_cap = jnp.zeros((r,), dtype=bool).at[order].set(rank_in_class > max_instances)
+        kept_any = kept_any & ~over_cap
 
     # Top max_instances by score among survivors.
     final_scores = jnp.where(kept_any, class_scores, -jnp.inf)

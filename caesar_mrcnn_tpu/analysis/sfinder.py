@@ -64,6 +64,7 @@ class SFinder:
         self.sources: Dict = {}
         self.outfile_json = ""
         self.outfile_ds9 = ""
+        self.outfile_img = ""  # optional detection-overlay PNG
         self.max_ntasks_per_worker = config.max_ntasks_per_worker
 
     # ------------------------------------------------------------ header
@@ -126,6 +127,14 @@ class SFinder:
         an.extract_det_masks(r["masks"], r["class_ids"], r["scores"])
         an.compute_obj_pars()
         an.make_json_results()
+        if self.outfile_img:
+            from .draw import draw_detections
+
+            draw_detections(
+                image, an.masks_final, an.class_names_final, an.scores_final,
+                an.bboxes, outfile=self.outfile_img,
+                title=f"detections: {self.image_id}",
+            )
         self.sources = an.results
         for src in self.sources["objs"]:
             self._add_source_params(src)

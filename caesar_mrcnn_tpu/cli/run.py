@@ -375,6 +375,7 @@ def run_detect(args, cfg: Config) -> int:
     )
     sf = SFinder(detector, detector.config)
     sf.outfile_json = args.detect_outfile_json
+    sf.outfile_img = args.detect_outfile
     if cfg.split_img_in_tiles:
         sf.run_tiled(args.image)
     else:

@@ -168,14 +168,15 @@ def read_fits_data(
         xmin_c, xmax_c = max(0, xmin), min(nx, xmax)
         ymin_c, ymax_c = max(0, ymin), min(ny, ymax)
         rows = ymax_c - ymin_c
-        cols = xmax_c - xmin_c
-        out = np.empty((rows, cols), dtype=dtype)
+        # One contiguous read of the full-width row block, then a column
+        # slice — rows are contiguous on disk, so this is a single
+        # seek+read instead of one per row.
         with open(filename, "rb") as f:
-            for r in range(rows):
-                off = data_start + ((ymin_c + r) * nx + xmin_c) * itemsize
-                f.seek(off)
-                out[r] = np.frombuffer(f.read(cols * itemsize), dtype=dtype)
-        data = out
+            f.seek(data_start + ymin_c * nx * itemsize)
+            block = np.frombuffer(
+                f.read(rows * nx * itemsize), dtype=dtype
+            ).reshape(rows, nx)
+        data = np.ascontiguousarray(block[:, xmin_c:xmax_c])
     else:
         count = nx * ny
         with open(filename, "rb") as f:

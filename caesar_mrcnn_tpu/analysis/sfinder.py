@@ -172,26 +172,49 @@ class SFinder:
         )
 
         # batched tile inference: tiles are identical size -> one compiled
-        # graph serves batches of batch_size tiles
+        # graph serves batches of batch_size tiles. A producer thread reads +
+        # preprocesses (zscale) the next batch while the device runs the
+        # current one (the fit_generator-worker role,
+        # reference: mrcnn/model.py:2487-2498).
+        import queue
+        import threading
+
         my_sources: List[Dict] = []
         bs = cfg.batch_size
-        for start in range(0, len(my_tiles), bs):
-            chunk = my_tiles[start : start + bs]
-            images = []
-            for _, (x1, x2, y1, y2) in chunk:
-                out = F.read_fits(
-                    image_path,
-                    xmin=x1, xmax=x2, ymin=y1, ymax=y2,
-                    stretch=cfg.zscale_stretch,
-                    zscale_contrasts=cfg.zscale_contrasts,
-                    normalize=cfg.normalize_img,
-                    convert_to_rgb=cfg.img_to_rgb,
-                    to_uint8=cfg.img_to_uint8,
-                    stretch_biascontrast=cfg.bias_contrast_stretch,
-                    contrast=cfg.img_contrast,
-                    bias=cfg.img_bias,
-                )
-                images.append(out[0])
+        chunks = [my_tiles[s : s + bs] for s in range(0, len(my_tiles), bs)]
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    images = []
+                    for _, (x1, x2, y1, y2) in chunk:
+                        out = F.read_fits(
+                            image_path,
+                            xmin=x1, xmax=x2, ymin=y1, ymax=y2,
+                            stretch=cfg.zscale_stretch,
+                            zscale_contrasts=cfg.zscale_contrasts,
+                            normalize=cfg.normalize_img,
+                            convert_to_rgb=cfg.img_to_rgb,
+                            to_uint8=cfg.img_to_uint8,
+                            stretch_biascontrast=cfg.bias_contrast_stretch,
+                            contrast=cfg.img_contrast,
+                            bias=cfg.img_bias,
+                        )
+                        images.append(out[0])
+                    q.put((chunk, images))
+                q.put(None)
+            except Exception as e:  # noqa: BLE001
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            chunk, images = item
             results = self.detector.detect(images)
             for (tile_idx, tile), img, r in zip(chunk, images, results):
                 my_sources.extend(

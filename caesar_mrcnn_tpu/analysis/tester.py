@@ -68,35 +68,51 @@ class ModelTester:
 
     # ---------------------------------------------------------------- run
     def test(self) -> int:
-        """Evaluate every dataset image (reference: mrcnn/analyze.py:123-185)."""
-        image_ids = self.dataset.image_ids
+        """Evaluate every dataset image (reference: mrcnn/analyze.py:123-185).
+
+        Unlike the reference's strictly batch-1 evaluation loop, images are
+        detected in device-batch-sized groups (all images mold to the same
+        static shape), with per-image post-processing unchanged.
+        """
+        image_ids = list(self.dataset.image_ids)
         if self.n_max_img > 0:
             image_ids = image_ids[: self.n_max_img]
-        for idx, image_id in enumerate(image_ids):
+        bs = max(getattr(self.detector, "config", self.config).batch_size, 1)
+        done = 0
+        for start in range(0, len(image_ids), bs):
+            group = image_ids[start : start + bs]
             try:
-                self.inspect_image(image_id)
+                images = [self.dataset.load_image(i) for i in group]
+                results = self.detector.detect(images)
             except Exception:
-                logger.exception("Failed to evaluate image %s", image_id)
+                logger.exception("Failed to detect batch starting at %s", group[0])
                 continue
-            if (idx + 1) % 10 == 0:
-                logger.info("evaluated %d/%d images", idx + 1, len(image_ids))
+            for image_id, image, r in zip(group, images, results):
+                try:
+                    self.inspect_image(image_id, image=image, result=r)
+                except Exception:
+                    logger.exception("Failed to evaluate image %s", image_id)
+                done += 1
+                if done % 10 == 0:
+                    logger.info("evaluated %d/%d images", done, len(image_ids))
         self.compute_performances()
         if self.compute_map:
             self.compute_mAP()
         return 0
 
     # --------------------------------------------------------- per image
-    def inspect_image(self, image_id) -> None:
+    def inspect_image(self, image_id, image=None, result=None) -> None:
         ds = self.dataset
         cfg = self.config
-        image = ds.load_image(image_id)
+        if image is None:
+            image = ds.load_image(image_id)
         gt_masks_raw, gt_class_ids_raw = ds.load_mask(image_id)
         image_path = ds.image_reference(image_id)
         metadata = ds.image_metadata(image_id) if hasattr(ds, "image_metadata") else {}
         obj_info = ds.load_gt_obj_info(image_id) if hasattr(ds, "load_gt_obj_info") else []
 
         # detect + post-process
-        r = self.detector.detect([image])[0]
+        r = result if result is not None else self.detector.detect([image])[0]
         an = self.analyzer
         an.image = image
         an.image_id = image_id

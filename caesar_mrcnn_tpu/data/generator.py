@@ -121,24 +121,27 @@ class TrainingPipeline:
         return B.norm_boxes(self.anchors, (h, w))
 
     # ------------------------------------------------------------- sample
-    def make_sample(self, image_id: int) -> Dict[str, np.ndarray]:
+    def make_sample(
+        self, image_id: int, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
         cfg = self.config
+        rng = rng if rng is not None else self.rng
         image, meta, class_ids, bbox, mask = load_image_gt(
             self.dataset,
             cfg,
             image_id,
             augmentation=self.augmentation,
             use_mini_mask=cfg.use_mini_mask,
-            rng=self.rng,
+            rng=rng,
         )
         rpn_match, rpn_deltas = build_rpn_targets(
-            self.anchors, class_ids, bbox, cfg, self.rng
+            self.anchors, class_ids, bbox, cfg, rng
         )
 
         # Subsample GT to the budget (reference: mrcnn/model.py:1831-1837)
         g = cfg.max_gt_instances
         if class_ids.shape[0] > g:
-            ids = self.rng.choice(np.arange(class_ids.shape[0]), g, replace=False)
+            ids = rng.choice(np.arange(class_ids.shape[0]), g, replace=False)
             class_ids = class_ids[ids]
             bbox = bbox[ids]
             mask = mask[:, :, ids]
@@ -199,17 +202,24 @@ class TrainingPipeline:
     def prefetch(
         self, batch_size: Optional[int] = None, device_put: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Background-thread prefetch (replaces fit_generator workers,
+        """Background prefetch (replaces fit_generator's worker pool,
         reference: mrcnn/model.py:2487-2498) with optional eager
-        host->device transfer for compute/transfer overlap."""
+        host->device transfer for compute/transfer overlap.
+
+        With ``num_workers > 1``, that many threads build samples in
+        parallel (FITS IO, the native zscale kernel and numpy release the
+        GIL) and an assembler thread packs them into batches; sample order
+        within the shuffled stream is then nondeterministic.
+        """
         import jax
 
+        bs = batch_size or self.config.batch_size
         q: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         stop = threading.Event()
 
-        def worker():
+        def put_batches(batch_iter):
             try:
-                for batch in self.batches(batch_size):
+                for batch in batch_iter:
                     if stop.is_set():
                         return
                     if device_put:
@@ -218,8 +228,58 @@ class TrainingPipeline:
             except Exception as e:  # noqa: BLE001
                 q.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        if self.num_workers <= 1:
+            threading.Thread(
+                target=put_batches, args=(self.batches(bs),), daemon=True
+            ).start()
+        else:
+            id_q: "queue.Queue" = queue.Queue(maxsize=4 * bs)
+            sample_q: "queue.Queue" = queue.Queue(maxsize=4 * bs)
+            id_lock = threading.Lock()
+            stream = self._id_stream()
+
+            def id_feeder():
+                while not stop.is_set():
+                    with id_lock:
+                        image_id = next(stream)
+                    id_q.put(image_id)
+
+            def sample_worker(worker_idx: int):
+                # per-worker RNG: RandomState is not thread-safe
+                rng = np.random.RandomState(
+                    (self.rng.randint(2 ** 31) + worker_idx) % (2 ** 31)
+                )
+                error_count = 0
+                while not stop.is_set():
+                    image_id = id_q.get()
+                    try:
+                        sample_q.put(self.make_sample(image_id, rng=rng))
+                        error_count = 0
+                    except Exception as e:  # noqa: BLE001
+                        logger.exception(
+                            "Error processing image %s",
+                            self.dataset.image_reference(image_id),
+                        )
+                        error_count += 1
+                        if error_count > 5:
+                            sample_q.put(e)
+                            return
+
+            def assembled():
+                while True:
+                    samples = []
+                    while len(samples) < bs:
+                        item = sample_q.get()
+                        if isinstance(item, Exception):
+                            raise item
+                        samples.append(item)
+                    yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+            threading.Thread(target=id_feeder, daemon=True).start()
+            for wi in range(self.num_workers):
+                threading.Thread(target=sample_worker, args=(wi,), daemon=True).start()
+            threading.Thread(target=put_batches, args=(assembled(),), daemon=True).start()
+
         try:
             while True:
                 item = q.get()

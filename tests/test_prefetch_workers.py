@@ -1,0 +1,44 @@
+"""Multi-worker prefetch: parallel sample production, correct batch shapes."""
+
+import numpy as np
+
+from caesar_mrcnn_tpu.config import detector_config
+from caesar_mrcnn_tpu.data.dataset import SourceDataset
+from caesar_mrcnn_tpu.data.generator import TrainingPipeline
+from caesar_mrcnn_tpu.utils import fits as F
+
+
+def _dataset(tmp_path, n=4):
+    ds = SourceDataset()
+    ds.set_class_dict({"source": 2})
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n):
+        img = rng.rand(64, 64).astype(np.float32)
+        mask = np.zeros((64, 64), np.float32)
+        mask[10 + i : 30 + i, 10:30] = 1
+        F.write_fits(img, f"{tmp_path}/i{i}.fits")
+        F.write_fits(mask, f"{tmp_path}/m{i}.fits")
+        rows.append(f"{tmp_path}/i{i}.fits,{tmp_path}/m{i}.fits,source")
+    with open(f"{tmp_path}/l.dat", "w") as f:
+        f.write("\n".join(rows))
+    ds.load_data_from_list(f"{tmp_path}/l.dat")
+    ds.prepare()
+    return ds
+
+
+def test_multiworker_prefetch(tmp_path):
+    ds = _dataset(tmp_path)
+    cfg = detector_config(
+        image_min_dim=64, image_max_dim=64, num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=2, rpn_anchor_scales=(8, 16, 32, 64, 128),
+        max_gt_instances=4, use_mini_mask=True, mini_mask_shape=(28, 28),
+    )
+    pipe = TrainingPipeline(ds, cfg, seed=0, num_workers=4)
+    it = pipe.prefetch(device_put=False)
+    batches = [next(it) for _ in range(4)]
+    for b in batches:
+        assert b["images"].shape == (2, 64, 64, 3)
+        assert (b["gt_class_ids"] > 0).sum() == 2  # one GT per image
+        assert np.isfinite(b["rpn_deltas"]).all()

@@ -316,6 +316,7 @@ def run_train(args, cfg: Config) -> int:
     state, tx = create_train_state(cfg, variables, layers=args.trainable_layers)
     pipeline = TrainingPipeline(
         ds_train, cfg, augmentation=args.use_augmentation, seed=0,
+        num_workers=args.nthreads,
     )
     mesh = make_mesh(n_devices=cfg.num_devices) if cfg.num_devices > 1 else None
     step = make_train_step(model, tx, pipeline.anchors_normalized(), mesh=mesh)

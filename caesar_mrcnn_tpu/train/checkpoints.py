@@ -48,7 +48,11 @@ def find_last(ckpt_dir: str) -> Optional[str]:
     """Newest checkpoint in a run dir (reference: mrcnn/model.py:2168-2195)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    names = sorted(n for n in os.listdir(ckpt_dir) if n.startswith("mask_rcnn_"))
+    names = sorted(
+        n
+        for n in os.listdir(ckpt_dir)
+        if n.startswith("mask_rcnn_") and not n.endswith("_state")
+    )
     return os.path.join(ckpt_dir, names[-1]) if names else None
 
 

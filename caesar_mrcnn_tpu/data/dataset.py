@@ -186,7 +186,7 @@ class SourceDataset(Dataset):
             logger.error("All files in list have been skipped!")
             return -1
         logger.info("#%d images added in dataset", img_counter)
-        return 0 if status == 0 else 0
+        return status
 
     def load_data_from_json_file(
         self, filename: str, rootdir: str = "", modify_class_names: bool = True

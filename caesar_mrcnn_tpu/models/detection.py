@@ -56,7 +56,11 @@ def refine_detections_single(
     nms_scores = jnp.where(keep, class_scores, -jnp.inf)
     max_out = min(r, max_instances * max(num_classes - 1, 1))
     idx, valid = nms_padded_auto(boxes_for_nms, nms_scores, max_out, nms_threshold)
-    kept_any = jnp.zeros((r,), dtype=bool).at[idx].set(valid)
+    # Padded NMS slots carry idx=0 with valid=False; scattering `valid`
+    # directly would let a padding slot's False overwrite a genuine keep of
+    # roi 0 (last-write-wins). Route invalid slots to a sentinel row instead.
+    safe_idx = jnp.where(valid, idx, r)
+    kept_any = jnp.zeros((r + 1,), dtype=bool).at[safe_idx].set(True)[:r]
     # cap per-class survivors at max_instances (reference caps each class's
     # NMS output, mrcnn/model.py:826-832)
     if num_classes > 2:

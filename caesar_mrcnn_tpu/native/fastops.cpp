@@ -149,7 +149,8 @@ int zscale_limits(const float* data, int64_t n, double contrast,
 
   if (ngood >= minpix) {
     if (contrast > 0) slope /= contrast;
-    const int64_t center = (npix - 1) / 2;
+    // astropy/IRAF midpoint convention: (npix + 1) / 2
+    const int64_t center = (npix + 1) / 2;
     const double median =
         (npix % 2) ? finite[npix / 2]
                    : 0.5 * (finite[npix / 2 - 1] + finite[npix / 2]);

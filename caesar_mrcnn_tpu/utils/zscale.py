@@ -76,7 +76,8 @@ def zscale_limits(
     if ngoodpix >= minpix:
         if contrast > 0:
             slope = slope / contrast
-        center = (npix - 1) // 2
+        # astropy/IRAF midpoint convention: (npix + 1) // 2
+        center = (npix + 1) // 2
         median = float(np.median(samples))
         vmin = max(vmin, median - (center - 1) * slope)
         vmax = min(vmax, median + (npix - center) * slope)

@@ -37,6 +37,34 @@ def oracle_refine(rois, probs, deltas, window, num_classes, max_instances,
     return out
 
 
+def test_roi0_isolated_keep_survives_padding_scatter():
+    """Regression: padded NMS slots return idx=0 with valid=False; a
+    last-write-wins scatter of `valid` would overwrite roi 0's genuine keep.
+    Here roi 0 is an isolated high-score detection and most slots are padding."""
+    r, c = 16, 4
+    rois = np.zeros((r, 4), np.float32)
+    rois[0] = [0.1, 0.1, 0.3, 0.3]   # isolated valid roi
+    rois[1] = [0.6, 0.6, 0.8, 0.8]   # second isolated roi, lower score
+    probs = np.zeros((r, c), np.float32)
+    probs[:, 0] = 1.0                # padding rows -> background
+    probs[0] = [0.05, 0.9, 0.03, 0.02]
+    probs[1] = [0.1, 0.7, 0.1, 0.1]
+    deltas = np.zeros((r, c, 4), np.float32)
+    window = np.array([0.0, 0.0, 1.0, 1.0], np.float32)
+
+    got = np.asarray(
+        refine_detections_single(
+            rois, probs, deltas, window, STD,
+            num_classes=c, max_instances=8,
+            min_confidence=0.5, nms_threshold=0.3,
+        )
+    )
+    kept_classes = got[got[:, 4] > 0]
+    assert len(kept_classes) == 2, f"expected both rois kept, got\n{got}"
+    np.testing.assert_allclose(kept_classes[0, :4], rois[0], atol=1e-5)
+    assert kept_classes[0, 5] == pytest.approx(0.9)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_refine_matches_oracle(seed):
     rng = np.random.RandomState(seed)

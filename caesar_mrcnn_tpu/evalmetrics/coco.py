@@ -65,33 +65,57 @@ def get_avg_precision_at_iou(
     pred_boxes: Dict[str, Dict],
     iou_thr: float = 0.5,
 ) -> Dict:
-    """Score-sweep AP at one IoU threshold
-    (reference: tarlen5 calculate.py:192-274).
+    """Score-sweep AP at one IoU threshold, numerically identical to the
+    vendored tool (reference: tarlen5 calculate.py:192-274) including its
+    quirks: the sweep visits every unique model score EXCEPT the highest,
+    keeps predictions with score strictly greater than the threshold, and
+    the all-detections PR point is therefore never sampled.
 
-    gt_boxes: {image_id: [box, ...]}
+    gt_boxes: {image_id: [box, ...]} (``{"boxes": [...]}`` dicts accepted)
     pred_boxes: {image_id: {"boxes": [...], "scores": [...]}}
     """
-    all_scores = sorted(
-        {s for img in pred_boxes.values() for s in img.get("scores", [])}
-    )
-    if not all_scores:
-        return {"avg_prec": 0.0, "precisions": [], "recalls": [], "model_thrs": []}
+    gt_norm = {
+        k: (v["boxes"] if isinstance(v, dict) else v) for k, v in gt_boxes.items()
+    }
+    # score -> image ids containing that score (reference: calculate.py:173-190)
+    model_scores_map: Dict[float, List[str]] = {}
+    for img_id, pb in pred_boxes.items():
+        for s in pb.get("scores", []):
+            model_scores_map.setdefault(s, []).append(img_id)
+    sorted_scores = sorted(model_scores_map)
 
-    precisions, recalls, thrs = [], [], []
-    for thr in all_scores:
-        image_results = {}
-        for img_id, gts in gt_boxes.items():
-            preds = pred_boxes.get(img_id, {"boxes": [], "scores": []})
-            keep = [b for b, s in zip(preds["boxes"], preds["scores"]) if s >= thr]
-            image_results[img_id] = get_single_image_results(gts, keep, iou_thr)
-        p, r = calc_precision_recall(image_results)
-        precisions.append(p)
-        recalls.append(r)
+    # Per-image predictions sorted ascending by score so pruning is a
+    # prefix drop (reference: calculate.py:219-226).
+    boxes_by_img: Dict[str, List] = {}
+    scores_by_img: Dict[str, List[float]] = {}
+    for img_id, pb in pred_boxes.items():
+        order = np.argsort(pb.get("scores", []), kind="stable")
+        boxes_by_img[img_id] = [pb["boxes"][i] for i in order]
+        scores_by_img[img_id] = [pb["scores"][i] for i in order]
+
+    precisions_l, recalls_l, thrs = [], [], []
+    img_results: Dict[str, Dict[str, int]] = {}
+    for ithr, thr in enumerate(sorted_scores[:-1]):
+        # First pass seeds every GT image; later passes only re-evaluate
+        # images whose prediction set changed (reference: calculate.py:235).
+        img_ids = list(gt_norm.keys()) if ithr == 0 else model_scores_map[thr]
+        for img_id in img_ids:
+            scores = scores_by_img.get(img_id, [])
+            start = 0
+            while start < len(scores) and scores[start] <= thr:
+                start += 1
+            scores_by_img[img_id] = scores[start:]
+            boxes_by_img[img_id] = boxes_by_img.get(img_id, [])[start:]
+            img_results[img_id] = get_single_image_results(
+                gt_norm.get(img_id, []), boxes_by_img[img_id], iou_thr
+            )
+        p, r = calc_precision_recall(img_results)
+        precisions_l.append(p)
+        recalls_l.append(r)
         thrs.append(thr)
 
-    precisions = np.asarray(precisions)
-    recalls = np.asarray(recalls)
-    # 101-point style interpolation over recall levels present
+    precisions = np.asarray(precisions_l)
+    recalls = np.asarray(recalls_l)
     prec_at_rec = []
     for rlevel in np.linspace(0.0, 1.0, 11):
         mask = recalls >= rlevel

@@ -25,15 +25,19 @@ class BBox:
 
 
 def box_iou(b1, b2) -> float:
+    """Pixel-inclusive IoU, matching the Padilla tool's convention of
+    +1-pixel widths/heights (reference:
+    Object-Detection-Metrics/lib/Evaluator.py:382-426) — boxes are integer
+    pixel corners and a box whose corners coincide still covers one pixel."""
     x1 = max(b1[0], b2[0])
     y1 = max(b1[1], b2[1])
     x2 = min(b1[2], b2[2])
     y2 = min(b1[3], b2[3])
-    if x2 <= x1 or y2 <= y1:
+    if x2 < x1 or y2 < y1:
         return 0.0
-    inter = (x2 - x1) * (y2 - y1)
-    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
-    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+    inter = (x2 - x1 + 1) * (y2 - y1 + 1)
+    a1 = (b1[2] - b1[0] + 1) * (b1[3] - b1[1] + 1)
+    a2 = (b2[2] - b2[0] + 1) * (b2[3] - b2[1] + 1)
     return inter / (a1 + a2 - inter)
 
 

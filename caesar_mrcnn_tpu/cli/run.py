@@ -297,13 +297,26 @@ def run_train(args, cfg: Config) -> int:
     from ..models.mask_rcnn import init_model
     from ..parallel.mesh import make_mesh, replicate_tree
     from ..train import checkpoints as CKPT
-    from ..train.trainer import create_train_state, make_train_step, train_loop
-    from ..utils.anchors import generate_pyramid_anchors
+    from ..train.trainer import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        train_loop,
+    )
 
     ds_train, ds_val = create_train_val_datasets(args, cfg)
     n_train = ds_train.num_images
     steps_per_epoch = args.epoch_length or max(1, n_train // cfg.batch_size)
-    logger.info("training on %d images, %d steps/epoch", n_train, steps_per_epoch)
+    # Validation cadence (reference: VALIDATION_STEPS, mrcnn/config.py:36 +
+    # model.py:2487-2499): every epoch, nvalidation_steps forward-only
+    # loss batches from the val split.
+    val_steps = args.nvalidation_steps
+    if val_steps is None:
+        val_steps = max(1, ds_val.num_images // cfg.batch_size) if ds_val.num_images else 0
+    logger.info(
+        "training on %d images, %d steps/epoch (+%d val steps/epoch on %d images)",
+        n_train, steps_per_epoch, val_steps, ds_val.num_images,
+    )
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     start_epoch = 0
@@ -318,14 +331,35 @@ def run_train(args, cfg: Config) -> int:
         ds_train, cfg, augmentation=args.use_augmentation, seed=0,
         num_workers=args.nthreads,
     )
+    class_weights = None
+    if args.weight_classes and ds_train.class_weights:
+        class_weights = np.ones(cfg.num_classes, np.float32)
+        for cid, w in ds_train.class_weights.items():
+            if 0 <= int(cid) < cfg.num_classes:
+                class_weights[int(cid)] = w
+        logger.info("class weights: %s", class_weights.tolist())
     mesh = make_mesh(n_devices=cfg.num_devices) if cfg.num_devices > 1 else None
-    step = make_train_step(model, tx, pipeline.anchors_normalized(), mesh=mesh)
+    step = make_train_step(
+        model, tx, pipeline.anchors_normalized(), mesh=mesh,
+        class_weights=class_weights,
+    )
     if mesh is not None:
         state = replicate_tree(state, mesh)
+
+    val_pipeline, val_step = None, None
+    if val_steps:
+        val_pipeline = TrainingPipeline(
+            ds_val, cfg, augmentation=False, seed=1, num_workers=args.nthreads,
+        )
+        val_step = make_eval_step(
+            model, pipeline.anchors_normalized(), mesh=mesh,
+            class_weights=class_weights,
+        )
 
     from ..train.observability import MetricsLogger
 
     batches = pipeline.prefetch()
+    val_batches = val_pipeline.prefetch() if val_pipeline is not None else None
     rng = jax.random.PRNGKey(42)
     os.makedirs(args.logs, exist_ok=True)
     metrics = MetricsLogger(args.logs)
@@ -335,6 +369,17 @@ def run_train(args, cfg: Config) -> int:
             callback=lambda s, ls, e=epoch: metrics.log(e * steps_per_epoch + s, ls),
         )
         rng, _ = jax.random.split(rng)
+        if val_steps:
+            val_rng = jax.random.PRNGKey(7)  # fixed: same target sampling each epoch
+            sums: dict = {}
+            for _ in range(val_steps):
+                vl = val_step(state, next(val_batches), val_rng)
+                for k, v in vl.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            val_losses = {f"val_{k}": v / val_steps for k, v in sums.items()}
+            metrics.log((epoch + 1) * steps_per_epoch, val_losses)
+            logger.info("epoch %d validation: %s",
+                        epoch + 1, {k: round(v, 4) for k, v in val_losses.items()})
         ckpt_vars = {"params": jax.device_get(state.params)}
         if state.batch_stats:
             ckpt_vars["batch_stats"] = jax.device_get(state.batch_stats)
@@ -370,8 +415,12 @@ def run_detect(args, cfg: Config) -> int:
     """(reference: scripts/run.py:1172-1189)."""
     from ..analysis.sfinder import SFinder
 
+    # Rectangular tiles supported (reference: scripts/run.py:235-239): the
+    # detector molds tiles square-mode to the longest tile side.
+    tile_long = max(cfg.tile_xsize, cfg.tile_ysize)
     detector = _build_detector(
-        args, cfg.replace(image_min_dim=cfg.tile_xsize, image_max_dim=cfg.tile_xsize)
+        args, cfg.replace(image_min_dim=min(cfg.tile_xsize, cfg.tile_ysize),
+                          image_max_dim=tile_long)
         if cfg.split_img_in_tiles else cfg
     )
     sf = SFinder(detector, detector.config)

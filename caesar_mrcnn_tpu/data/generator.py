@@ -159,7 +159,7 @@ class TrainingPipeline:
             gt_masks[:, :, :n] = mask.astype(np.float32)
 
         molded = I.mold_image(image, cfg.mean_pixel)
-        return {
+        sample = {
             "images": molded.astype(np.float32),
             "image_meta": meta.astype(np.float32),
             "rpn_match": rpn_match.astype(np.int32),
@@ -168,6 +168,17 @@ class TrainingPipeline:
             "gt_boxes": gt_boxes,
             "gt_masks": gt_masks,
         }
+        if not cfg.use_rpn_rois:
+            # Head-only training with externally generated ROIs
+            # (reference: mrcnn/model.py:1846-1856 random_rois path fed by
+            # USE_RPN_ROIS=False, model.py:2446).
+            from ..models.debug_rois import generate_random_rois
+
+            rois_px = generate_random_rois(
+                (h, w), cfg.post_nms_rois_training, bbox, rng
+            )
+            sample["rois"] = B.norm_boxes(rois_px.astype(np.float32), (h, w))
+        return sample
 
     # -------------------------------------------------------------- batches
     def _id_stream(self) -> Iterator[int]:

@@ -62,16 +62,25 @@ def mrcnn_class_loss(
     target_class_ids: jnp.ndarray,
     pred_class_logits: jnp.ndarray,
     active_class_ids: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Head classification CE with inactive-class erasure
     (reference: mrcnn/model.py:1162-1195).
 
     target_class_ids: [B, R] int (0 = bg/pad); logits: [B, R, C];
     active_class_ids: [B, C].
+
+    ``class_weights`` [C] rescales each ROI's CE by its target class's
+    weight — the role of Keras ``fit(class_weight=...)`` fed with the
+    n/(k*n_c) weights (reference: mrcnn/model.py:2498 +
+    scripts/run.py:785-815). The normalizer stays the active-ROI count,
+    matching Keras' sample-weighted mean semantics.
     """
     t = target_class_ids.astype(jnp.int32)
     logp = jax.nn.log_softmax(pred_class_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        ce = ce * class_weights[t]
     pred_class = jnp.argmax(pred_class_logits, axis=-1)
     # reference uses image 0's active ids for the whole batch; we use each
     # image's own row (the documented TODO at mrcnn/model.py:1180)
@@ -134,21 +143,29 @@ def compute_losses(
     rpn_target_deltas: jnp.ndarray,
     active_class_ids: jnp.ndarray,
     config: Config,
+    class_weights: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """All five losses + the weighted total (weights/switches:
     reference mrcnn/config.py:189-203, applied at mrcnn/model.py:2263-2283)."""
+    # The mask head runs on the positive-ROI prefix only (see
+    # forward_train); slice the targets to the predicted-ROI count. All
+    # positive slots live in that prefix, so the loss is unchanged.
+    r_masks = outputs.masks.shape[1]
     losses = {
         "rpn_class_loss": rpn_class_loss(rpn_match, outputs.rpn_class_logits),
         "rpn_bbox_loss": rpn_bbox_loss(rpn_target_deltas, rpn_match, outputs.rpn_bbox),
         "mrcnn_class_loss": mrcnn_class_loss(
-            outputs.target_class_ids, outputs.class_logits, active_class_ids
+            outputs.target_class_ids,
+            outputs.class_logits,
+            active_class_ids,
+            class_weights,
         ),
         "mrcnn_bbox_loss": mrcnn_bbox_loss(
             outputs.target_deltas, outputs.target_class_ids, outputs.bbox_deltas
         ),
         "mrcnn_mask_loss": mrcnn_mask_loss(
-            outputs.target_masks,
-            outputs.target_class_ids,
+            outputs.target_masks[:, :r_masks],
+            outputs.target_class_ids[:, :r_masks],
             outputs.masks,
             config.mask_loss_function,
         ),

@@ -222,11 +222,22 @@ class TrainForward(NamedTuple):
     rpn_bbox: jnp.ndarray          # [B, A, 4]
     class_logits: jnp.ndarray      # [B, R, C]
     bbox_deltas: jnp.ndarray       # [B, R, C, 4]
-    masks: jnp.ndarray             # [B, R, mh, mw, C]
+    masks: jnp.ndarray             # [B, Rp, mh, mw, C] — positive-ROI prefix only
     target_class_ids: jnp.ndarray  # [B, R]
     target_deltas: jnp.ndarray     # [B, R, 4]
     target_masks: jnp.ndarray      # [B, R, mh, mw]
     rois: jnp.ndarray              # [B, R, 4]
+
+
+def _merge_collections(dst: Dict, src: Dict) -> Dict:
+    """Recursively merge variable-collection dicts (later wins)."""
+    out = dict(dst)
+    for k, v in src.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge_collections(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def forward_train(
@@ -238,22 +249,64 @@ def forward_train(
     gt_boxes: jnp.ndarray,       # [B, G, 4] normalized, zero-padded
     gt_masks: jnp.ndarray,       # [B, mH, mW, G]
     anchors: jnp.ndarray,
-) -> TrainForward:
+    ext_rois: jnp.ndarray | None = None,
+) -> Tuple[TrainForward, Dict]:
     """Training forward pass producing head outputs + sampled targets
-    (reference training build: mrcnn/model.py:2066-2132)."""
+    (reference training build: mrcnn/model.py:2066-2132).
+
+    Returns ``(outputs, updated_batch_stats)``; the stats dict is empty
+    unless ``config.train_bn`` (frozen BN, the default — reference
+    config.py:216 TRAIN_BN=False).
+
+    ``ext_rois`` [B, P, 4] (normalized) replaces the RPN proposal path for
+    head-only training with externally supplied ROIs — the reference's
+    ``USE_RPN_ROIS=False`` input_rois mode (reference:
+    mrcnn/model.py:2066-2078); RPN outputs are still produced so its
+    losses keep training the RPN.
+
+    TPU perf note: the mask head (and its ROIAlign) runs on the
+    positive-ROI prefix only — targets.detection_targets lays positives
+    out first with a static cap, and the mask loss zeroes non-positive
+    slots anyway, so dropping the negative slots is numerically free and
+    cuts the dominant training FLOPs ~3x.
+    """
     cfg = model.config
-    pyramid = model.apply(variables, images, True, method=MaskRCNN.features)
+    train_bn = bool(cfg.train_bn)
+    new_stats: Dict = {}
+
+    def apply(method, *args):
+        nonlocal new_stats
+        if train_bn:
+            import flax.core
+
+            out, ups = model.apply(
+                variables if not new_stats else _merge_collections(
+                    variables, {"batch_stats": new_stats}
+                ),
+                *args,
+                method=method,
+                mutable=["batch_stats"],
+            )
+            ups = flax.core.unfreeze(ups)
+            new_stats = _merge_collections(new_stats, ups.get("batch_stats", {}))
+            return out
+        return model.apply(variables, *args, method=method)
+
+    pyramid = apply(MaskRCNN.features, images, True)
     rpn_logits, rpn_probs, rpn_bbox = model.apply(variables, pyramid, method=MaskRCNN.rpn)
 
-    proposals, _ = generate_proposals(
-        rpn_probs,
-        rpn_bbox,
-        anchors,
-        jnp.asarray(cfg.rpn_bbox_std_dev, jnp.float32),
-        proposal_count=cfg.post_nms_rois_training,
-        nms_threshold=cfg.rpn_nms_threshold,
-        pre_nms_limit=cfg.pre_nms_limit,
-    )
+    if ext_rois is None:
+        proposals, _ = generate_proposals(
+            rpn_probs,
+            rpn_bbox,
+            anchors,
+            jnp.asarray(cfg.rpn_bbox_std_dev, jnp.float32),
+            proposal_count=cfg.post_nms_rois_training,
+            nms_threshold=cfg.rpn_nms_threshold,
+            pre_nms_limit=cfg.pre_nms_limit,
+        )
+    else:
+        proposals = ext_rois.astype(jnp.float32)
 
     rois, target_class_ids, target_deltas, target_masks = detection_targets_batch(
         rng, proposals, gt_class_ids, gt_boxes, gt_masks, cfg
@@ -268,13 +321,14 @@ def forward_train(
 
     image_shape = cfg.image_shape[:2]
     pooled = pyramid_roi_align_batched(pyramid, rois, image_shape, cfg.pool_size)
-    class_logits, _, bbox_deltas = model.apply(
-        variables, pooled, True, method=MaskRCNN.classifier
-    )
+    class_logits, _, bbox_deltas = apply(MaskRCNN.classifier, pooled, True)
+
+    pos_cap = int(cfg.train_rois_per_image * cfg.roi_positive_ratio)
+    mask_rois = rois[:, :pos_cap]
     mask_pooled = pyramid_roi_align_batched(
-        pyramid, rois, image_shape, cfg.mask_pool_size
+        pyramid, mask_rois, image_shape, cfg.mask_pool_size
     )
-    masks = model.apply(variables, mask_pooled, True, method=MaskRCNN.mask)
+    masks = apply(MaskRCNN.mask, mask_pooled, True)
 
     return TrainForward(
         rpn_class_logits=rpn_logits,
@@ -286,4 +340,4 @@ def forward_train(
         target_deltas=target_deltas,
         target_masks=target_masks,
         rois=rois,
-    )
+    ), new_stats

@@ -43,9 +43,13 @@ class MetricsLogger:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        keys = keys or [
-            k for k in self.history[0] if k.endswith("loss")
-        ]
+        if keys is None:
+            seen = {}
+            for r in self.history:  # preserve first-seen order; includes val_*
+                for k in r:
+                    if k.endswith("loss"):
+                        seen[k] = True
+            keys = list(seen)
         steps = [r["step"] for r in self.history]
         fig, ax = plt.subplots(1, figsize=(8, 5))
         for k in keys:

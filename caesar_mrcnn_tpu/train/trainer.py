@@ -123,22 +123,35 @@ def make_train_step(
     tx: optax.GradientTransformation,
     anchors: np.ndarray,
     mesh=None,
+    class_weights: Optional[np.ndarray] = None,
 ) -> Callable:
     """Build the jitted train step.
 
     When ``mesh`` is provided the step is compiled with the batch sharded
     over the ``data`` axis and params/opt-state replicated — the
     data-parallel gradient psum happens inside XLA over ICI.
+
+    ``class_weights`` [C] enables class-weighted head classification loss
+    (reference: scripts/run.py:785-815 -> mrcnn/model.py:2498).
+
+    If the batch carries a ``"rois"`` key, those external ROIs replace the
+    RPN proposal path (reference USE_RPN_ROIS=False mode,
+    mrcnn/model.py:2066-2078).
+
+    When ``config.train_bn``, BatchNorm running statistics are updated
+    each step and threaded through ``TrainState.batch_stats``
+    (reference TRAIN_BN: mrcnn/model.py:57-72, config.py:216).
     """
     cfg = model.config
     anchors = jnp.asarray(anchors)
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            outputs = forward_train(
+            outputs, new_stats = forward_train(
                 model,
                 variables,
                 rng,
@@ -147,6 +160,7 @@ def make_train_step(
                 batch["gt_boxes"],
                 batch["gt_masks"],
                 anchors,
+                ext_rois=batch.get("rois"),
             )
             meta = parse_image_meta_jax(batch["image_meta"])
             losses = compute_losses(
@@ -155,13 +169,17 @@ def make_train_step(
                 batch["rpn_deltas"],
                 meta["active_class_ids"],
                 cfg,
+                class_weights=cw,
             )
-            return losses["total_loss"], losses
+            return losses["total_loss"], (losses, new_stats)
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, state.batch_stats, opt_state)
+        batch_stats = new_stats if (cfg.train_bn and new_stats) else state.batch_stats
+        new_state = TrainState(state.step + 1, params, batch_stats, opt_state)
         return new_state, losses
 
     if mesh is None:
@@ -175,6 +193,51 @@ def make_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_eval_step(
+    model: MaskRCNN,
+    anchors: np.ndarray,
+    mesh=None,
+    class_weights: Optional[np.ndarray] = None,
+) -> Callable:
+    """Forward-only loss computation for validation batches
+    (reference: mrcnn/model.py:2446-2451, 2487-2499 validation_data)."""
+    cfg = model.config
+    anchors = jnp.asarray(anchors)
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+
+    def eval_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs, _ = forward_train(
+            model,
+            variables,
+            rng,
+            batch["images"],
+            batch["gt_class_ids"],
+            batch["gt_boxes"],
+            batch["gt_masks"],
+            anchors,
+            ext_rois=batch.get("rois"),
+        )
+        meta = parse_image_meta_jax(batch["image_meta"])
+        return compute_losses(
+            outputs,
+            batch["rpn_match"],
+            batch["rpn_deltas"],
+            meta["active_class_ids"],
+            cfg,
+            class_weights=cw,
+        )
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, data, rep), out_shardings=rep)
 
 
 # ------------------------------------------------------------------- loop

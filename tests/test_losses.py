@@ -71,3 +71,42 @@ def test_mask_loss_bce_and_dice():
     assert dice < 1e-4
     # no positives -> 0
     assert float(L.mrcnn_mask_loss(target, jnp.zeros((1, 2)), pred)) == 0.0
+
+
+def test_mrcnn_class_loss_class_weights():
+    """Weighted CE: upweighting the target class scales its contribution;
+    the normalizer (active-ROI count) is unchanged (reference class_weight:
+    mrcnn/model.py:2498 + scripts/run.py:785-815)."""
+    t = jnp.array([[1, 2]])
+    logits = jnp.array([[[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]])
+    active = jnp.ones((1, 3), jnp.int32)
+    base = float(L.mrcnn_class_loss(t, logits, active))
+    w_id = jnp.array([1.0, 1.0, 1.0])
+    assert float(L.mrcnn_class_loss(t, logits, active, w_id)) == np.float32(base)
+    # upweight class 1 by 3x: its CE triples, class 2's unchanged
+    w = jnp.array([1.0, 3.0, 1.0])
+    logp = np.asarray(jnp.log(jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True)))
+    ce1, ce2 = -logp[0, 0, 1], -logp[0, 1, 2]
+    expected = (3.0 * ce1 + ce2) / 2.0
+    np.testing.assert_allclose(
+        float(L.mrcnn_class_loss(t, logits, active, w)), expected, rtol=1e-6
+    )
+
+
+def test_mask_loss_positive_prefix_equivalence():
+    """Running the mask head on the positive-ROI prefix only is numerically
+    identical: non-positive slots never contribute to the loss."""
+    rng = np.random.RandomState(0)
+    r, pos = 8, 3
+    t = np.zeros((1, r), np.int32)
+    t[0, :pos] = [1, 2, 1]
+    target = rng.rand(1, r, 4, 4).round().astype(np.float32)
+    pred_full = rng.uniform(0.01, 0.99, (1, r, 4, 4, 3)).astype(np.float32)
+    full = float(L.mrcnn_mask_loss(jnp.asarray(target), jnp.asarray(t), jnp.asarray(pred_full)))
+    prefix = float(
+        L.mrcnn_mask_loss(
+            jnp.asarray(target[:, :pos]), jnp.asarray(t[:, :pos]),
+            jnp.asarray(pred_full[:, :pos]),
+        )
+    )
+    np.testing.assert_allclose(full, prefix, rtol=1e-6)

@@ -100,14 +100,17 @@ def test_forward_train_shapes(small_cfg, model_and_vars):
     mh, mw = small_cfg.mini_mask_shape
     gt_masks = np.zeros((1, mh, mw, g), np.float32)
     gt_masks[0, :, :, :2] = 1.0
-    out = forward_train(
+    out, new_stats = forward_train(
         model, variables, jax.random.PRNGKey(3), images,
         jnp.asarray(gt_class_ids), jnp.asarray(gt_boxes), jnp.asarray(gt_masks),
         anchors,
     )
     r = small_cfg.train_rois_per_image
+    pos_cap = int(r * small_cfg.roi_positive_ratio)
     assert out.class_logits.shape == (1, r, 4)
     assert out.bbox_deltas.shape == (1, r, 4, 4)
-    assert out.masks.shape == (1, r, 28, 28, 4)
+    # mask head runs on the positive-ROI prefix only
+    assert out.masks.shape == (1, pos_cap, 28, 28, 4)
     assert out.target_class_ids.shape == (1, r)
     assert np.isfinite(np.asarray(out.target_deltas)).all()
+    assert new_stats == {}  # train_bn=False -> no BN stat updates

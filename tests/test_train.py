@@ -184,6 +184,44 @@ def test_checkpoint_roundtrip_and_partial_restore(tiny_cfg, tmp_path):
     assert any("conv1" in s for s in skipped7)
 
 
+def test_train_bn_updates_stats(tiny_cfg, tiny_dataset):
+    """train_bn=True threads updated BN running stats through the step
+    (reference TRAIN_BN: mrcnn/model.py:57-72, config.py:216)."""
+    cfg = tiny_cfg.replace(train_bn=True)
+    pipe = TrainingPipeline(tiny_dataset, cfg, seed=1)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables)
+    step = make_train_step(model, tx, pipe.anchors_normalized())
+    batch = next(pipe.batches())
+    assert state.batch_stats, "model should carry BN running stats"
+    before = np.array(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    after = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    assert np.isfinite(float(losses["total_loss"]))
+    assert not np.allclose(before, after), "BN stats did not update"
+    # and a second step still runs NaN-free on the updated stats
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_external_rois_train_step(tiny_cfg, tiny_dataset):
+    """use_rpn_rois=False: the generator emits random ROIs and the train
+    step consumes them instead of RPN proposals (reference USE_RPN_ROIS:
+    mrcnn/model.py:2066-2078, 1846-1856)."""
+    cfg = tiny_cfg.replace(use_rpn_rois=False)
+    pipe = TrainingPipeline(tiny_dataset, cfg, seed=1)
+    batch = next(pipe.batches())
+    assert batch["rois"].shape == (cfg.batch_size, cfg.post_nms_rois_training, 4)
+    assert batch["rois"].max() <= 1.0
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables)
+    step = make_train_step(model, tx, pipe.anchors_normalized())
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    # positives exist: random ROIs are jittered around GT so the heads train
+    assert float(losses["mrcnn_class_loss"]) > 0
+
+
 def test_adam_optimizer_builds(tiny_cfg):
     cfg = tiny_cfg.replace(optimizer="adam")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))

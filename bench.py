@@ -4,31 +4,40 @@ Measures the driver north-star: images/sec/chip for 512^2 FITS detect on
 the flagship ResNet-101+FPN model (BASELINE.md; baseline target
 50 img/sec/chip). Prints ONE JSON line.
 
-The measured step is the full jitted detect graph (backbone -> FPN -> RPN
--> proposal NMS -> heads -> per-class NMS -> masks) in bfloat16 on
-device-resident inputs; host unmold is excluded (it runs overlapped with
-the next device step in production via the prefetch pipeline).
+Two numbers are reported so the headline cannot be accused of excluding
+the host pipeline:
+
+* ``value`` (headline) — the full jitted detect graph (backbone -> FPN ->
+  RPN -> proposal NMS -> heads -> per-class NMS -> masks) in bfloat16 on
+  device-resident inputs; host unmold excluded (it overlaps the next
+  device step in production via the producer pipeline).
+* ``e2e_img_per_sec`` — end-to-end tiled FITS detect: windowed FITS reads
+  of real 512^2 tiles from a 2048^2 mosaic on disk, zscale stretch,
+  RGB conversion, molding, host->device transfer, the same device graph,
+  device->host fetch and full unmold (mask paste to pixel space), with
+  a multi-worker producer overlapping host work and device inference
+  (the analysis/sfinder.py run_tiled pipeline).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
-def main() -> None:
+def build_detector(batch: int, size: int):
     import jax
-    import jax.numpy as jnp
 
     from caesar_mrcnn_tpu.config import detector_config
-    from caesar_mrcnn_tpu.models.mask_rcnn import init_model, make_inference_fn
-    from caesar_mrcnn_tpu.models.meta import compose_image_meta
-    from caesar_mrcnn_tpu.utils.anchors import get_anchors
+    from caesar_mrcnn_tpu.inference.detector import Detector
+    from caesar_mrcnn_tpu.models.mask_rcnn import init_model
 
-    batch = 8
-    size = 512
     cfg = detector_config(
         num_classes=4,
         class_names=("bkg", "sidelobe", "source", "galaxy"),
@@ -39,8 +48,17 @@ def main() -> None:
         compute_dtype="bfloat16",
     )
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    fn = make_inference_fn(model)
+    return Detector(cfg, model, variables)
 
+
+def measure_device(det, batch: int, size: int) -> float:
+    """Device-graph throughput on device-resident inputs."""
+    import jax.numpy as jnp
+
+    from caesar_mrcnn_tpu.models.meta import compose_image_meta
+    from caesar_mrcnn_tpu.utils.anchors import get_anchors
+
+    cfg = det.config
     h, w, c = cfg.image_shape
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, h, w, c).astype(np.float32))
@@ -54,14 +72,15 @@ def main() -> None:
     ).astype(np.float32)
     metas = jnp.asarray(meta)
     anchors = jnp.asarray(get_anchors(cfg))
+    fn = det._fn
+    variables = det.variables
 
     def sync(o):
         # On tunneled platforms block_until_ready can return before the
         # device work drains; a tiny host fetch is the reliable fence.
         np.asarray(o.detections[0, 0, :1])
 
-    # compile + warmup
-    out = fn(variables, images, metas, anchors)
+    out = fn(variables, images, metas, anchors)  # compile + warmup
     sync(out)
     for _ in range(2):
         out = fn(variables, images, metas, anchors)
@@ -73,19 +92,86 @@ def main() -> None:
         out = fn(variables, images, metas, anchors)
     sync(out)  # queue drains in order: fetching the last output fences all
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    img_per_sec = batch * iters / dt
-    baseline = 50.0
-    print(
-        json.dumps(
-            {
-                "metric": "img/sec/chip at 512^2 FITS detect (resnet101 bf16 batch 8)",
-                "value": round(img_per_sec, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_sec / baseline, 3),
-            }
-        )
+
+def make_mosaic(path: str, n: int, seed: int = 0) -> None:
+    """Radio-looking n x n FITS mosaic: noise + gaussian sources."""
+    from caesar_mrcnn_tpu.utils import fits as F
+
+    rng = np.random.RandomState(seed)
+    img = rng.normal(0.0, 0.05, (n, n)).astype(np.float32)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    for _ in range(n // 16):
+        cy, cx = rng.randint(32, n - 32, 2)
+        s = rng.uniform(2.0, 8.0)
+        amp = rng.uniform(0.5, 20.0)
+        blob = amp * np.exp(-(((yy - 32) ** 2 + (xx - 32) ** 2) / (2 * s * s)))
+        img[cy - 32 : cy + 32, cx - 32 : cx + 32] += blob
+    F.write_fits(
+        img, path, header={"BMAJ": 1.5e-3, "BMIN": 1.2e-3, "CDELT1": -2.8e-4,
+                           "CDELT2": 2.8e-4},
     )
+
+
+def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
+    """End-to-end tiled FITS detect (read+zscale+mold -> device -> unmold)."""
+    from caesar_mrcnn_tpu.utils import fits as F
+    from caesar_mrcnn_tpu.utils.tiles import generate_tiles
+
+    mosaic_n = 2048
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    path = os.path.join(tmp, "mosaic.fits")
+    make_mosaic(path, mosaic_n)
+
+    tiles = generate_tiles(0, mosaic_n, 0, mosaic_n, size, size)  # step 1.0
+    chunks = [tiles[s : s + batch] for s in range(0, len(tiles), batch)]
+
+    def prep_tile(tile):
+        x1, x2, y1, y2 = tile
+        out = F.read_fits(path, xmin=x1, xmax=x2, ymin=y1, ymax=y2)
+        return out[0]
+
+    def run_pass(pool) -> int:
+        """One full pass over the mosaic; returns images processed."""
+        n_done = 0
+        # producer: each chunk's tiles are prepped in the pool; chunk
+        # futures are consumed in order while later chunks prep in the
+        # background (the sfinder producer-thread pattern, widened).
+        chunk_futs = [[pool.submit(prep_tile, t) for t in ch] for ch in chunks]
+        for futs in chunk_futs:
+            images = [f.result() for f in futs]
+            results = det.detect(images)
+            n_done += len(results)
+            assert all("masks" in r for r in results)
+        return n_done
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        run_pass(pool)  # warmup (compiles the detect graph for this shape)
+        passes = 3
+        t0 = time.perf_counter()
+        n = sum(run_pass(pool) for _ in range(passes))
+        dt = time.perf_counter() - t0
+    return {"e2e_img_per_sec": round(n / dt, 2), "e2e_tiles": len(tiles),
+            "e2e_mosaic": mosaic_n, "e2e_workers": workers}
+
+
+def main() -> None:
+    batch, size = 8, 512
+    det = build_detector(batch, size)
+    dev_ips = measure_device(det, batch, size)
+    e2e = {}
+    if "--device-only" not in sys.argv:
+        e2e = measure_e2e(det, batch, size)
+    baseline = 50.0
+    rec = {
+        "metric": "img/sec/chip at 512^2 FITS detect (resnet101 bf16 batch 8)",
+        "value": round(dev_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(dev_ips / baseline, 3),
+    }
+    rec.update(e2e)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -141,6 +141,88 @@ def display_differences(
     )
 
 
+def draw_rois(
+    image,
+    rois,
+    refined_rois,
+    mask,
+    class_ids,
+    class_names,
+    limit: int = 10,
+    outfile: Optional[str] = None,
+    seed: Optional[int] = None,
+):
+    """Debug view of sampled training ROIs: dashed ROI box, solid refined
+    box, corner connector, label, and the ROI's mask pasted onto the image
+    (reference: visualize.py:209-267). Returns (n_pos, n_neg).
+
+    ``mask`` is [N, mh, mw] per-ROI (class-selected) soft masks; negative
+    ROIs (class 0) draw gray with no refinement/mask.
+    """
+    from matplotlib import lines
+
+    from ..utils.image import unmold_mask
+
+    rng = np.random.RandomState(seed)
+    ids = np.arange(rois.shape[0], dtype=np.int32)
+    if ids.shape[0] > limit:
+        ids = rng.choice(ids, limit, replace=False)
+
+    fig, ax = plt.subplots(1, figsize=(12, 12))
+    if rois.shape[0] > limit:
+        ax.set_title(f"Showing {len(ids)} random ROIs out of {rois.shape[0]}")
+    else:
+        ax.set_title(f"{len(ids)} ROIs")
+    ax.set_ylim(image.shape[0] + 20, -20)
+    ax.set_xlim(-50, image.shape[1] + 20)
+    ax.axis("off")
+
+    img = image
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.dtype != np.uint8:
+        m = img.max() or 1.0
+        img = (255.0 * img / m).astype(np.uint8)
+    masked_image = img.astype(np.float32)
+
+    for i in ids:
+        color = tuple(rng.rand(3))
+        class_id = int(class_ids[i])
+        y1, x1, y2, x2 = rois[i]
+        ax.add_patch(
+            patches.Rectangle(
+                (x1, y1), x2 - x1, y2 - y1, linewidth=2,
+                edgecolor=color if class_id else "gray",
+                facecolor="none", linestyle="dashed",
+            )
+        )
+        if class_id:
+            ry1, rx1, ry2, rx2 = refined_rois[i]
+            ax.add_patch(
+                patches.Rectangle(
+                    (rx1, ry1), rx2 - rx1, ry2 - ry1, linewidth=2,
+                    edgecolor=color, facecolor="none",
+                )
+            )
+            ax.add_line(lines.Line2D([x1, rx1], [y1, ry1], color=color))
+            ax.text(rx1, ry1 + 8, class_names[class_id], color="w", size=11,
+                    backgroundcolor="none")
+            m = unmold_mask(
+                np.asarray(mask[i], dtype=np.float32),
+                np.asarray(rois[i][:4], dtype=np.int32),
+                img.shape,
+            )
+            masked_image = apply_mask(masked_image, m, color)
+
+    ax.imshow(masked_image.astype(np.uint8))
+    n_pos = int((np.asarray(class_ids) > 0).sum())
+    n_neg = int((np.asarray(class_ids) == 0).sum())
+    if outfile:
+        fig.savefig(outfile, bbox_inches="tight")
+        plt.close(fig)
+    return n_pos, n_neg
+
+
 def draw_boxes(
     image,
     boxes=None,

@@ -4,16 +4,16 @@ Replaces ``tf.image.non_max_suppression`` (used by the reference at
 mrcnn/model.py:393-395 for proposals and mrcnn/model.py:822-826 for
 per-class detections) with an XLA-native, fixed-shape algorithm:
 
-* boxes are sorted by score and processed in tiles of ``TILE`` boxes;
-* cross-tile suppression is a dense IoU-matrix test against the surviving
-  boxes of earlier tiles (suppressed boxes are zeroed, and IoU against a
-  zeroed box is defined as 0);
-* within-tile suppression runs an edge-removal fixpoint: a box survives
+* boxes are sorted by score and processed in blocks of ``TILE`` boxes;
+* within-block suppression runs an edge-removal fixpoint: a box survives
   iff it has no incoming suppression edge from a surviving higher-scored
   box. Each iteration removes the outgoing edges of boxes suppressed by
   currently-undominated boxes, which at least halves the longest
   suppression chain, so the ``while_loop`` converges in O(log TILE) steps
-  and reproduces greedy NMS exactly.
+  and reproduces greedy NMS exactly;
+* each resolved block then suppresses every later box with one dense
+  [TILE, N] IoU pass (suppressed boxes are zeroed, and IoU against a
+  zeroed box is defined as 0) — every box pair is touched exactly once.
 
 Everything is static-shape: output is ``max_output`` indices (padded) plus
 a validity mask — the pad+mask convention used across the framework instead
@@ -42,32 +42,6 @@ def _pairwise_iou(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
     union = a1[:, None] + a2[None, :] - inter
     return jnp.where(union > 0.0, inter / union, 0.0)
-
-
-def _self_suppress(adj: jnp.ndarray) -> jnp.ndarray:
-    """Resolve greedy suppression inside one tile.
-
-    adj[j, i] = 1 if box j (higher score) suppresses box i when j survives
-    (strictly upper-triangular). Returns survive mask [T] (bool).
-    """
-
-    def cond(state):
-        _, changed = state
-        return changed
-
-    def body(state):
-        a, _ = state
-        # boxes currently not suppressed by anyone: no incoming edges
-        undominated = ~jnp.any(a > 0, axis=0)  # [T]
-        # boxes suppressed by an undominated box are definitely out:
-        # remove their outgoing edges
-        suppressed = jnp.any(a * undominated[:, None].astype(a.dtype) > 0, axis=0)
-        new_a = a * (~suppressed[:, None]).astype(a.dtype)
-        changed = jnp.any(new_a != a)
-        return new_a, changed
-
-    adj, _ = jax.lax.while_loop(cond, body, (adj, jnp.array(True)))
-    return ~jnp.any(adj > 0, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_output",))
@@ -217,7 +191,6 @@ def nms_padded_auto(
     return nms_padded_seq(boxes, scores, max_output, iou_threshold)
 
 
-@functools.partial(jax.jit, static_argnames=("max_output", "tile"))
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -225,7 +198,7 @@ def nms_padded(
     iou_threshold: float,
     tile: int = TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS with static shapes.
+    """Greedy NMS with static shapes (public entry point).
 
     Args:
       boxes: [N, 4] (y1, x1, y2, x2); invalid entries should carry
@@ -238,63 +211,13 @@ def nms_padded(
     Returns:
       (indices [max_output] int32 into the *input* order, valid [max_output]
       bool). Padded slots point at index 0 with valid=False.
+
+    Delegates to :func:`nms_padded_seq` — the block-sequential variant
+    replaced an earlier tile-by-tile formulation whose cross-tile pass
+    re-scanned all earlier tiles per tile (O((N/T)^2) sequential steps);
+    seq touches each box pair exactly once and measured faster at every N.
     """
-    n = boxes.shape[0]
-    n_pad = -n % tile
-    valid_in = scores > -jnp.inf
-    # Sort by score descending (stable: ties keep input order like the oracle).
-    order = jnp.argsort(-scores, stable=True)
-    sboxes = jnp.where(valid_in[order][:, None], boxes[order], 0.0)
-    survive = valid_in[order]
-    if n_pad:
-        sboxes = jnp.pad(sboxes, ((0, n_pad), (0, 0)))
-        survive = jnp.pad(survive, (0, n_pad))
-        order_p = jnp.pad(order, (0, n_pad))
-    else:
-        order_p = order
-    total = sboxes.shape[0]
-    num_tiles = total // tile
-
-    def tile_body(i, state):
-        all_boxes, survive = state
-        box_tile = jax.lax.dynamic_slice(all_boxes, (i * tile, 0), (tile, 4))
-        surv_tile = jax.lax.dynamic_slice(survive, (i * tile,), (tile,))
-
-        # Cross-tile: suppress by surviving boxes of earlier tiles
-        # (suppressed boxes were zeroed, so their IoU is 0).
-        def cross_body(j, carry):
-            bt, st = carry
-            prev = jax.lax.dynamic_slice(all_boxes, (j * tile, 0), (tile, 4))
-            iou = _pairwise_iou(prev, bt)  # [T, T]
-            hit = jnp.any(iou > iou_threshold, axis=0) & (j < i)
-            st = st & ~hit
-            bt = jnp.where(hit[:, None], 0.0, bt)
-            return bt, st
-
-        box_tile, surv_tile = jax.lax.fori_loop(
-            0, num_tiles, cross_body, (box_tile, surv_tile)
-        )
-
-        # Within-tile greedy suppression.
-        iou = _pairwise_iou(box_tile, box_tile)
-        upper = jnp.triu(jnp.ones((tile, tile), dtype=bool), k=1)
-        adj = jnp.where(upper & (iou > iou_threshold), 1.0, 0.0)
-        keep = _self_suppress(adj)
-        surv_tile = surv_tile & keep
-        box_tile = jnp.where(surv_tile[:, None], box_tile, 0.0)
-        all_boxes = jax.lax.dynamic_update_slice(all_boxes, box_tile, (i * tile, 0))
-        survive = jax.lax.dynamic_update_slice(survive, surv_tile, (i * tile,))
-        return all_boxes, survive
-
-    _, survive = jax.lax.fori_loop(0, num_tiles, tile_body, (sboxes, survive))
-
-    # First max_output survivors in score order.
-    rank = jnp.arange(total, dtype=jnp.float32)
-    pick_score = jnp.where(survive, -rank, -jnp.inf)
-    _, top = jax.lax.top_k(pick_score, max_output)
-    top_valid = survive[top]
-    idx = jnp.where(top_valid, order_p[top], 0)
-    return idx.astype(jnp.int32), top_valid
+    return nms_padded_seq(boxes, scores, max_output, iou_threshold, tile)
 
 
 def nms_boxes_padded(

@@ -319,12 +319,19 @@ def _format_card(key: str, value) -> bytes:
 
 
 def write_fits(data: np.ndarray, filename: str, header: Optional[Dict] = None) -> None:
-    """Write a 2D float32 FITS image (test fixtures + catalog cutouts)."""
-    data = np.asarray(data, dtype=np.float32)
+    """Write a 2D FITS image (test fixtures + catalog cutouts).
+
+    uint8 input is stored as BITPIX=8 (4x smaller — used for binary object
+    masks at dataset scale); everything else is stored float32 (BITPIX=-32).
+    """
+    data = np.asarray(data)
+    if data.dtype != np.uint8:
+        data = data.astype(np.float32)
     assert data.ndim == 2
+    bitpix = 8 if data.dtype == np.uint8 else -32
     cards = [
         _format_card("SIMPLE", True),
-        _format_card("BITPIX", -32),
+        _format_card("BITPIX", bitpix),
         _format_card("NAXIS", 2),
         _format_card("NAXIS1", data.shape[1]),
         _format_card("NAXIS2", data.shape[0]),
@@ -339,7 +346,7 @@ def write_fits(data: np.ndarray, filename: str, header: Optional[Dict] = None) -
     cards.append("END".ljust(CARD).encode("ascii"))
     head = b"".join(cards)
     head += b" " * (-len(head) % BLOCK)
-    body = data.astype(">f4").tobytes()
+    body = data.tobytes() if bitpix == 8 else data.astype(">f4").tobytes()
     body += b"\x00" * (-len(body) % BLOCK)
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     with open(filename, "wb") as f:

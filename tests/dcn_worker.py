@@ -1,0 +1,46 @@
+"""Subprocess worker for the two-process JaxDistComm test.
+
+Launched by tests/test_parallel.py::test_jaxdistcomm_two_processes as
+``python tests/dcn_worker.py <port> <process_id>``. Exercises the real
+multi-host path of parallel/dist.py (pickled-allgather over DCN/Gloo,
+gather-to-master, barrier) — the machinery behind the tiled multi-host
+merge in analysis/sfinder.py (reference: mrcnn/sfinder.py:940-988).
+"""
+
+import os
+import sys
+
+port, pid = sys.argv[1], int(sys.argv[2])
+
+import jax  # noqa: E402
+
+# The env var alone is overridden by the axon plugin (CLAUDE.md gotcha);
+# force the platform through the config API before any backend init.
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from caesar_mrcnn_tpu.parallel.dist import JaxDistComm, get_comm  # noqa: E402
+
+comm = get_comm()
+assert isinstance(comm, JaxDistComm), type(comm)
+assert comm.size == 2 and comm.rank == pid
+
+# allgather of deliberately unequal-size python objects (exercises the
+# two-phase max-length + padded-payload exchange).
+obj = {"rank": comm.rank, "dets": [(i, "s" * (11 + comm.rank * 137)) for i in range(3)]}
+out = comm.allgather(obj)
+assert [o["rank"] for o in out] == [0, 1], out
+assert len(out[0]["dets"][0][1]) == 11 and len(out[1]["dets"][0][1]) == 148
+
+# gather-to-master semantics (list on rank 0, None elsewhere)
+g = comm.gather(("tile", comm.rank))
+if comm.rank == 0:
+    assert g == [("tile", 0), ("tile", 1)], g
+else:
+    assert g is None
+
+comm.barrier()
+print(f"DCN_WORKER_{pid}_OK")

@@ -110,6 +110,24 @@ def test_visualize_display_instances(tmp_path):
     assert stats[0]["name"] == "layer/kernel"
 
 
+def test_visualize_draw_rois(tmp_path):
+    from caesar_mrcnn_tpu.analysis.visualize import draw_rois
+
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    rois = np.array([[10, 10, 30, 30], [5, 5, 20, 20], [40, 40, 60, 60]])
+    refined = rois + np.array([2, 2, -2, -2])
+    mask = rng.rand(3, 28, 28).astype(np.float32)
+    class_ids = np.array([1, 0, 2])
+    out = str(tmp_path / "rois.png")
+    n_pos, n_neg = draw_rois(
+        image, rois, refined, mask, class_ids,
+        ["bkg", "source", "galaxy"], limit=2, outfile=out, seed=0,
+    )
+    assert os.path.isfile(out)
+    assert (n_pos, n_neg) == (2, 1)
+
+
 def test_introspection(tmp_path):
     import jax
 

@@ -208,6 +208,36 @@ class SFinder:
                 q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
+
+        # Two-deep pipeline: dispatch batch k+1 to the device before
+        # fetching/post-processing batch k, so host unmold + source
+        # extraction overlap device inference (and the uint8 tile fast
+        # path keeps the host->device wire 12x thinner than molded f32).
+        det_cfg = getattr(self.detector, "config", None)
+        fast_ok = det_cfg is not None and hasattr(self.detector, "dispatch_tiles")
+        in_h, in_w = det_cfg.image_shape[:2] if fast_ok else (-1, -1)
+
+        def dispatch(chunk, images):
+            shapes_ok = fast_ok and all(
+                im.shape[0] == in_h and im.shape[1] == in_w for im in images
+            )
+            if shapes_ok:
+                gray = np.stack(
+                    [im[..., 0] if im.ndim == 3 else im for im in images]
+                )
+                return ("handle", self.detector.dispatch_tiles(gray))
+            return ("results", self.detector.detect(images))  # resize path
+
+        def consume(chunk, images, kind, payload):
+            results = (
+                self.detector.collect(payload) if kind == "handle" else payload
+            )
+            for (tile_idx, tile), img, r in zip(chunk, images, results):
+                my_sources.extend(
+                    self._tile_sources(tile_idx, tile, tiles, img, r)
+                )
+
+        pending = None
         while True:
             item = q.get()
             if item is None:
@@ -215,11 +245,12 @@ class SFinder:
             if isinstance(item, Exception):
                 raise item
             chunk, images = item
-            results = self.detector.detect(images)
-            for (tile_idx, tile), img, r in zip(chunk, images, results):
-                my_sources.extend(
-                    self._tile_sources(tile_idx, tile, tiles, img, r)
-                )
+            kind, payload = dispatch(chunk, images)
+            if pending is not None:
+                consume(*pending)
+            pending = (chunk, images, kind, payload)
+        if pending is not None:
+            consume(*pending)
 
         # gather to master over DCN (replaces pickled MPI send/recv,
         # reference: sfinder.py:940-988)

@@ -112,6 +112,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     # TEST OPTIONS (reference: scripts/run.py:1355-1361)
     parser.add_argument("--scoreThr", type=float, default=0.7)
     parser.add_argument("--iouThr", type=float, default=0.6)
+    # Parity-with-a-bug: the reference parses this flag and sets it on the
+    # dataset but nothing ever reads it (reference: scripts/run.py:1022);
+    # accepted here for CLI compatibility and equally inert.
     parser.add_argument("--consider_sources_near_mixed_sidelobes",
                         action="store_true", default=True)
     parser.add_argument("--no_consider_sources_near_mixed_sidelobes",

@@ -35,6 +35,7 @@ class Detector:
         self.model = model
         self.variables = variables
         self._fn = make_inference_fn(model)
+        self._premold = None  # lazily-jitted device-side mold for tiles
 
     # ----------------------------------------------------------- molding
     def mold_inputs(self, images: Sequence[np.ndarray]):
@@ -106,6 +107,78 @@ class Detector:
             else np.empty(tuple(original_image_shape[:2]) + (0,))
         )
         return boxes, class_ids, scores, full_masks
+
+    # ------------------------------------------------- tiled fast path
+    def _premold_fn(self):
+        """Device-side mold for pre-sized tiles: cast + gray->RGB broadcast
+        + mean subtraction run on-chip, so the host->device wire carries
+        uint8 single-channel pixels (12x fewer bytes than molded float32
+        RGB — the tunnel transfer dominated the tiled e2e path)."""
+        if self._premold is None:
+            mean = jnp.asarray(self.config.mean_pixel, dtype=jnp.float32)
+            nch = self.config.image_channel_count
+
+            @jax.jit
+            def premold(raw):  # [B, H, W] or [B, H, W, C], any dtype
+                x = raw.astype(jnp.float32)
+                if x.ndim == 3:
+                    x = jnp.broadcast_to(x[..., None], x.shape + (nch,))
+                return x - mean
+
+            self._premold = premold
+        return self._premold
+
+    def dispatch_tiles(self, tiles: np.ndarray):
+        """Async-dispatch detection on a batch of pre-sized tiles.
+
+        ``tiles``: [B, H, W] (grayscale, broadcast to the model's channels
+        on device) or [B, H, W, C]; (H, W) must equal the compiled input
+        shape (tiles skip host resize — the mold window is the full frame).
+        Returns an opaque handle for :meth:`collect`. Dispatch returns as
+        soon as the device work is enqueued, so callers can overlap host
+        unmolding of batch k with device inference of batch k+1.
+        """
+        cfg = self.config
+        h, w, _c = cfg.image_shape
+        n_in = tiles.shape[0]
+        bs = cfg.batch_size
+        assert tiles.shape[1] == h and tiles.shape[2] == w, (
+            f"tiles {tiles.shape[1:3]} != compiled input {(h, w)}"
+        )
+        assert n_in <= bs, f"dispatch_tiles got {n_in} tiles, batch_size={bs}"
+        if n_in < bs:
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], bs - n_in, axis=0)]
+            )
+        molded = self._premold_fn()(jnp.asarray(tiles))
+        meta = compose_image_meta(
+            0, (h, w, _c), (h, w, _c), (0, 0, h, w), 1.0, np.zeros(cfg.num_classes)
+        )
+        metas = jnp.asarray(np.tile(meta.astype(np.float32), (bs, 1)))
+        anchors = jnp.asarray(get_anchors(cfg, (h, w, _c)))
+        out = self._fn(self.variables, molded, metas, anchors)
+        return out, n_in, (h, w, _c)
+
+    def collect(self, handle) -> List[Dict]:
+        """Fetch + unmold a :meth:`dispatch_tiles` batch."""
+        out, n_in, shape = handle
+        detections = np.asarray(out.detections)
+        masks = np.asarray(out.masks)
+        window = (0, 0, shape[0], shape[1])
+        results = []
+        for i in range(n_in):
+            rois, class_ids, scores, full_masks = self.unmold_detections(
+                detections[i], masks[i], shape, shape, window
+            )
+            results.append(
+                {"rois": rois, "class_ids": class_ids, "scores": scores,
+                 "masks": full_masks}
+            )
+        return results
+
+    def detect_tiles(self, tiles: np.ndarray) -> List[Dict]:
+        """Synchronous tiled fast path (dispatch + collect)."""
+        return self.collect(self.dispatch_tiles(tiles))
 
     # ------------------------------------------------------------ detect
     def detect(self, images: Sequence[np.ndarray], verbose: int = 0) -> List[Dict]:

@@ -5,6 +5,12 @@ Re-derivation of the reference Lambda-layer losses
 functions of (predictions, targets, masks). Dynamic ``tf.gather_nd`` picks
 become masked reductions — bitwise-identical means because masked-out terms
 contribute zero to both numerator and denominator.
+
+All losses compute in float32 even when the model runs bfloat16: bf16
+log-softmax rounds confident log-probs slightly positive (observed as a
+small *negative* CE), and bf16 resolution near p=1 makes mask BCE noisy.
+The cast happens at the loss boundary so the forward/backward matmuls stay
+bf16 on the MXU.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ def rpn_class_loss(rpn_match: jnp.ndarray, rpn_class_logits: jnp.ndarray) -> jnp
 
     rpn_match: [B, A] in {-1, 0, 1}; logits: [B, A, 2].
     """
+    rpn_class_logits = rpn_class_logits.astype(jnp.float32)
     anchor_class = (rpn_match == 1).astype(jnp.int32)
     use = (rpn_match != 0).astype(jnp.float32)
     logp = jax.nn.log_softmax(rpn_class_logits, axis=-1)
@@ -54,7 +61,9 @@ def rpn_bbox_loss(
     delta components exactly like the reference's packed version.
     """
     pos = (rpn_match == 1).astype(jnp.float32)[..., None]
-    loss = smooth_l1(target_deltas, rpn_bbox)
+    loss = smooth_l1(
+        target_deltas.astype(jnp.float32), rpn_bbox.astype(jnp.float32)
+    )
     return _safe_mean(loss, jnp.broadcast_to(pos, loss.shape))
 
 
@@ -77,7 +86,7 @@ def mrcnn_class_loss(
     matching Keras' sample-weighted mean semantics.
     """
     t = target_class_ids.astype(jnp.int32)
-    logp = jax.nn.log_softmax(pred_class_logits, axis=-1)
+    logp = jax.nn.log_softmax(pred_class_logits.astype(jnp.float32), axis=-1)
     ce = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
     if class_weights is not None:
         ce = ce * class_weights[t]
@@ -104,7 +113,7 @@ def mrcnn_bbox_loss(
     picked = jnp.take_along_axis(
         pred_deltas, t[..., None, None].repeat(4, axis=-1), axis=2
     )[:, :, 0, :]
-    loss = smooth_l1(target_deltas, picked)
+    loss = smooth_l1(target_deltas.astype(jnp.float32), picked.astype(jnp.float32))
     return _safe_mean(loss, jnp.broadcast_to(pos[..., None], loss.shape))
 
 
@@ -122,8 +131,8 @@ def mrcnn_mask_loss(
     pos = (t > 0).astype(jnp.float32)
     y_pred = jnp.take_along_axis(
         pred_masks, t[..., None, None, None], axis=-1
-    )[..., 0]
-    y_true = target_masks
+    )[..., 0].astype(jnp.float32)
+    y_true = target_masks.astype(jnp.float32)
     eps = 1e-7
     if mask_loss_function == "dice_coef_loss":
         # dice over positive-ROI pixels only (reference: mrcnn/model.py:3038-3046)

@@ -118,6 +118,22 @@ def create_train_state(
 # --------------------------------------------------------------- train step
 
 
+def mold_batch(batch: Dict, cfg: Config) -> Dict:
+    """Device-side molding of the thin wire format (see
+    generator.make_sample): cast images to f32 and subtract the pixel mean
+    (reference mold_image: mrcnn/model.py:2964-2969), widen uint8 masks and
+    int8 rpn_match. Runs inside jit, so the casts fuse with the first
+    consumers; already-molded float batches pass through unchanged when
+    ``mean_pixel`` is zero (every radio config here)."""
+    b = dict(batch)
+    b["images"] = batch["images"].astype(jnp.float32) - jnp.asarray(
+        cfg.mean_pixel, jnp.float32
+    )
+    b["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
+    b["rpn_match"] = batch["rpn_match"].astype(jnp.int32)
+    return b
+
+
 def make_train_step(
     model: MaskRCNN,
     tx: optax.GradientTransformation,
@@ -147,6 +163,8 @@ def make_train_step(
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        batch = mold_batch(batch, cfg)
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -208,6 +226,7 @@ def make_eval_step(
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def eval_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        batch = mold_batch(batch, cfg)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -83,3 +83,26 @@ def test_detect_batch_padding(detector, ref_data_dir):
     r1 = detector.detect([img1])
     r2 = detector.detect([img2])
     assert len(r1) == 1 and len(r2) == 1
+
+
+def test_detect_tiles_fast_path_matches_detect(detector):
+    """The uint8 device-mold tile path (dispatch_tiles/collect) must produce
+    the same detections as the generic mold-on-host detect()."""
+    rng = np.random.RandomState(3)
+    tile = rng.randint(0, 255, (128, 128), np.uint8)
+    rgb = np.stack([tile] * 3, axis=-1)
+
+    ref = detector.detect([rgb])[0]
+    fast = detector.detect_tiles(tile[None])[0]
+    np.testing.assert_allclose(fast["rois"], ref["rois"], atol=1e-5)
+    np.testing.assert_array_equal(fast["class_ids"], ref["class_ids"])
+    np.testing.assert_allclose(fast["scores"], ref["scores"], rtol=1e-5)
+    np.testing.assert_array_equal(fast["masks"], ref["masks"])
+
+    # pipelined handles: dispatch two batches before collecting either
+    h1 = detector.dispatch_tiles(tile[None])
+    h2 = detector.dispatch_tiles((255 - tile)[None])
+    r1 = detector.collect(h1)
+    r2 = detector.collect(h2)
+    np.testing.assert_allclose(r1[0]["rois"], ref["rois"], atol=1e-5)
+    assert len(r2) == 1

@@ -407,6 +407,8 @@ def run_test(args, cfg: Config) -> int:
     ds = create_test_dataset(args, cfg)
     detector = _build_detector(args, cfg)
     tester = ModelTester(detector, detector.config, ds)
+    os.makedirs(args.logs, exist_ok=True)
+    tester.outdir = args.logs  # CSVs + eval dumps go to the job dir
     tester.n_max_img = args.maxnimgs
     if args.remap_classids and args.classid_remap_dict:
         remap = json.loads(args.classid_remap_dict)

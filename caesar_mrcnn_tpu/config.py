@@ -126,6 +126,10 @@ class Config:
     # --- numerics (TPU) ------------------------------------------------------
     # bfloat16 conv/matmul compute with float32 params & box math.
     compute_dtype: str = "bfloat16"
+    # Inference-only ROIAlign gather quantization ("none" = exact; e.g.
+    # "float8_e4m3fn" halves the HBM bytes of the bytes-bound pyramid
+    # gather). Training always gathers exact.
+    roi_gather_dtype: str = "none"
 
     # --- FITS preprocessing (reference: scripts/run.py:219-228) ---------------
     zscale_stretch: bool = True

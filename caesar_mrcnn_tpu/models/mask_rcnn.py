@@ -124,14 +124,24 @@ def pyramid_roi_align_batched(
     boxes: jnp.ndarray,
     image_shape: Tuple[int, int],
     pool: int,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """[B,*,4] boxes over batched P2..P5 maps -> [B, R, pool, pool, C]."""
     feats4 = pyramid[:4]
 
     def per_image(boxes_i, *feats_i):
-        return multilevel_roi_align(list(feats_i), boxes_i, image_shape, pool)
+        return multilevel_roi_align(
+            list(feats_i), boxes_i, image_shape, pool, gather_dtype=gather_dtype
+        )
 
     return jax.vmap(per_image)(boxes, *feats4)
+
+
+def _gather_dtype(cfg) -> "jnp.dtype | None":
+    """Inference-only ROIAlign gather quantization from config
+    (``roi_gather_dtype``: "none" keeps the exact bf16/f32 gather)."""
+    name = getattr(cfg, "roi_gather_dtype", "none")
+    return None if name in ("none", "", None) else jnp.dtype(name)
 
 
 # --------------------------------------------------------------- inference
@@ -168,7 +178,10 @@ def forward_inference(
     )
 
     image_shape = cfg.image_shape[:2]
-    pooled = pyramid_roi_align_batched(pyramid, proposals, image_shape, cfg.pool_size)
+    gdt = _gather_dtype(cfg)
+    pooled = pyramid_roi_align_batched(
+        pyramid, proposals, image_shape, cfg.pool_size, gather_dtype=gdt
+    )
     _, probs, deltas = model.apply(variables, pooled, False, method=MaskRCNN.classifier)
 
     meta = parse_image_meta_jax(image_metas)
@@ -193,7 +206,7 @@ def forward_inference(
 
     det_boxes = detections[..., :4]
     mask_pooled = pyramid_roi_align_batched(
-        pyramid, det_boxes, image_shape, cfg.mask_pool_size
+        pyramid, det_boxes, image_shape, cfg.mask_pool_size, gather_dtype=gdt
     )
     mrcnn_mask = model.apply(variables, mask_pooled, False, method=MaskRCNN.mask)
     # Select the detected class's mask channel per detection.

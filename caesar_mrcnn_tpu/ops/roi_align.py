@@ -116,14 +116,24 @@ def multilevel_roi_align(
     boxes: jnp.ndarray,
     image_shape: Tuple[int, int],
     pool: int,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Pool [N, pool, pool, C] from the right pyramid level per box.
 
     Args:
       features: list of [H_l, W_l, C] maps, P2..P5 (single image).
-      boxes: [N, 4] normalized, zero-padded entries pool zeros.
+      boxes: [N, 4] normalized. Zero-padded entries pool the level-0
+        corner pixel (identical to TF crop_and_resize on a degenerate
+        box — the reference does the same; downstream consumers ignore
+        padded slots via their validity masks).
       image_shape: (H, W) of the network input (for level assignment).
       pool: output spatial size.
+      gather_dtype: optional narrower dtype (e.g. ``jnp.float8_e4m3fn``)
+        for the flattened gather buffer. The gather is HBM-bytes-bound on
+        TPU, so an 8-bit buffer halves the dominant cost of this op;
+        gathered taps are cast back to the feature dtype before the
+        bilinear weighting, so only the feature values themselves are
+        quantized. Output dtype is unchanged.
     """
     num_levels = len(features)
     c = features[0].shape[-1]
@@ -131,8 +141,10 @@ def multilevel_roi_align(
     shapes = np.array([f.shape[:2] for f in features], dtype=np.int32)
     offsets = np.concatenate([[0], np.cumsum(shapes[:, 0] * shapes[:, 1])])
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    if gather_dtype is not None:
+        flat = flat.astype(gather_dtype)
     # one zero row at the end for out-of-range samples
-    flat = jnp.concatenate([flat, jnp.zeros((1, c), dtype=dtype)], axis=0)
+    flat = jnp.concatenate([flat, jnp.zeros((1, c), dtype=flat.dtype)], axis=0)
     zero_row = flat.shape[0] - 1
 
     levels = roi_levels(boxes, float(image_shape[0] * image_shape[1]), num_levels)
@@ -168,10 +180,10 @@ def multilevel_roi_align(
         w10 = (wy * (1 - wx))[..., None]
         w11 = (wy * wx)[..., None]
         return (
-            flat[i00] * w00.astype(dtype)
-            + flat[i01] * w01.astype(dtype)
-            + flat[i10] * w10.astype(dtype)
-            + flat[i11] * w11.astype(dtype)
+            flat[i00].astype(dtype) * w00.astype(dtype)
+            + flat[i01].astype(dtype) * w01.astype(dtype)
+            + flat[i10].astype(dtype) * w10.astype(dtype)
+            + flat[i11].astype(dtype) * w11.astype(dtype)
         )
 
     return jax.vmap(one_box)(boxes, lvl_h, lvl_w, lvl_off)

@@ -100,6 +100,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
         parser.add_argument(f"--no_{name}", dest=name, action="store_false")
     parser.add_argument("--mask_loss_function", type=str, default="binary_crossentropy",
                         choices=["binary_crossentropy", "dice_coef_loss"])
+    parser.add_argument("--roi_gather_dtype", type=str, default="none",
+                        help="inference ROIAlign gather buffer dtype; "
+                             "'float8_e4m3fn' halves the gather bytes")
     parser.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
     parser.add_argument("--learning_rate", type=float, default=0.0005)
     parser.add_argument("--trainable_layers", type=str, default="all",
@@ -195,6 +198,7 @@ def build_config(args) -> Config:
         mean_pixel=(0.0,) if args.grayimg else (0.0, 0.0, 0.0),
         optimizer=args.optimizer,
         learning_rate=args.learning_rate,
+        roi_gather_dtype=args.roi_gather_dtype,
         mask_loss_function=args.mask_loss_function,
         loss_weights={
             "rpn_class_loss": args.rpn_class_loss_weight,
@@ -395,7 +399,11 @@ def run_train(args, cfg: Config) -> int:
 def _build_detector(args, cfg: Config):
     from ..inference.detector import build_detector
 
-    icfg = inference_config(cfg)
+    # The reference's InferenceConfig hardcodes batch 1 (scripts/run.py:
+    # 1641-1657); here --nimg_per_gpu carries through so ModelTester's
+    # batched evaluation loop and SFinder's batched tile inference
+    # actually run device-batched.
+    icfg = inference_config(cfg, images_per_device=max(1, args.nimg_per_gpu))
     exclude = ["conv1"] if args.exclude_first_layer_weights else None
     return build_detector(icfg, weights_path=args.weights, exclude=exclude)
 

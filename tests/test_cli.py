@@ -54,6 +54,11 @@ def test_build_config():
     assert cfg.image_channel_count == 1
     assert cfg.num_classes == 4
     assert cfg.class_names == ("bkg", "sidelobe", "source", "galaxy")
+    assert cfg.roi_gather_dtype == "none"
+    args2 = cli.parse_args(
+        ["detect", "--image", "x.fits", "--roi_gather_dtype", "float8_e4m3fn"]
+    )
+    assert cli.build_config(args2).roi_gather_dtype == "float8_e4m3fn"
 
 
 def _write_synthetic_pair(tmp_path, idx):

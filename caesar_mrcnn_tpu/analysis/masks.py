@@ -16,11 +16,21 @@ _STRUCT8 = np.ones((3, 3), dtype=bool)  # 8-connectivity
 
 
 def mask_bbox(mask: np.ndarray) -> Tuple[int, int, int, int]:
-    """(y1, x1, y2, x2) with y2/x2 exclusive; zeros for empty mask."""
-    ys, xs = np.nonzero(mask)
-    if ys.size == 0:
+    """(y1, x1, y2, x2) with y2/x2 exclusive; zeros for empty mask.
+
+    Row/column-projection argmax instead of ``np.nonzero`` — nonzero
+    materializes every set pixel's indices and dominated the evaluation
+    host profile (~half of per-image analysis time at realistic
+    detection counts)."""
+    rows = mask.any(axis=1)
+    if not rows.any():
         return (0, 0, 0, 0)
-    return (int(ys.min()), int(xs.min()), int(ys.max()) + 1, int(xs.max()) + 1)
+    cols = mask.any(axis=0)
+    y1 = int(np.argmax(rows))
+    y2 = int(len(rows) - np.argmax(rows[::-1]))
+    x1 = int(np.argmax(cols))
+    x2 = int(len(cols) - np.argmax(cols[::-1]))
+    return (y1, x1, y2, x2)
 
 
 def bboxes_adjacent(b1, b2, gap: int = 1) -> bool:

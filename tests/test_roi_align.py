@@ -122,3 +122,38 @@ def test_multilevel_fp8_gather_close_to_exact():
     rel = np.abs(q - base).mean() / np.abs(base).mean()
     assert rel < 0.04, rel
     assert q.dtype == base.dtype
+
+
+def test_batched_flat_gather_matches_vmapped_per_image():
+    """multilevel_roi_align_batched (one flat gather across the batch,
+    the production path) is bit-identical to vmapping the per-image
+    kernel."""
+    import jax
+    from caesar_mrcnn_tpu.ops.roi_align import multilevel_roi_align_batched
+
+    rng = np.random.RandomState(5)
+    B = 3
+    feats = [
+        rng.rand(B, 64 // (2 ** i), 64 // (2 ** i), 8).astype(np.float32)
+        for i in range(4)
+    ]
+    boxes = np.stack(
+        [
+            np.array(
+                [[0.1, 0.1, 0.4, 0.5], [0.0, 0.0, 1.0, 1.0],
+                 [0.3, 0.3, 0.35, 0.34], [0.0, 0.0, 0.0, 0.0]],
+                dtype=np.float32,
+            )
+            + 0.001 * b
+            for b in range(B)
+        ]
+    )
+    batched = np.asarray(
+        multilevel_roi_align_batched([np.asarray(f) for f in feats], boxes, (64, 64), 7)
+    )
+    vmapped = np.asarray(
+        jax.vmap(
+            lambda bx, *fs: multilevel_roi_align(list(fs), bx, (64, 64), 7)
+        )(boxes, *feats)
+    )
+    np.testing.assert_array_equal(batched, vmapped)

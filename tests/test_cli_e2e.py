@@ -60,14 +60,15 @@ def test_cli_train_test_detect(workdir):
     assert os.path.isfile(workdir / "logs" / "loss_curve.png")
     assert os.path.isfile(workdir / "logs" / "train_metrics.jsonl")
 
-    # --- test mode with the checkpoint
+    # --- test mode with the checkpoint (dumps go to --logs)
     rc = cli.main(
         ["test", "--datalist", str(workdir / "list.dat"),
-         "--weights", ckpt, "--maxnimgs", "2", "--scoreThr", "0.0"] + TINY
+         "--weights", ckpt, "--maxnimgs", "2", "--scoreThr", "0.0",
+         "--logs", str(workdir / "logs")] + TINY
     )
     assert rc == 0
-    assert os.path.isfile(workdir / "map_summary.json")
-    assert os.path.isdir(workdir / "groundtruths")
+    assert os.path.isfile(workdir / "logs" / "map_summary.json")
+    assert os.path.isdir(workdir / "logs" / "groundtruths")
 
     # --- detect mode on one FITS
     rc = cli.main(

@@ -124,7 +124,9 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     from caesar_mrcnn_tpu.utils import fits as F
     from caesar_mrcnn_tpu.utils.tiles import generate_tiles
 
-    mosaic_n = 2048
+    # 64 tiles = 8 batches/pass so the two-deep pipeline reaches steady
+    # state (a 16-tile mosaic spends most of a pass in warmup/flush).
+    mosaic_n = 4096
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     path = os.path.join(tmp, "mosaic.fits")
     make_mosaic(path, mosaic_n)
@@ -165,7 +167,7 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         run_pass(pool)  # warmup (compiles the detect graph for this shape)
         if os.environ.get("BENCH_VERBOSE"):
             print(f"e2e warmup pass: {time.perf_counter() - t0:.1f}s", flush=True)
-        passes = 3
+        passes = 2
         t0 = time.perf_counter()
         n = sum(run_pass(pool) for _ in range(passes))
         dt = time.perf_counter() - t0

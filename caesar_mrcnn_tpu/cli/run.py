@@ -447,10 +447,29 @@ def run_detect(args, cfg: Config) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: the flagship graphs take minutes to
+    compile cold; repeat CLI invocations (train restarts, eval after
+    train) hit the disk cache instead. Honors JAX_COMPILATION_CACHE_DIR
+    if the user already set one."""
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "caesar_mrcnn_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        logger.debug("could not enable the persistent compile cache")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
     if validate_args(args) < 0:
         return 1
+    _enable_compile_cache()
     cfg = build_config(args)
     logger.info(cfg.display())
     if args.command == "train":

@@ -138,11 +138,16 @@ def test_get_comm_falls_back_serial():
     assert comm.size == 1  # single-process test environment
 
 
-def test_jaxdistcomm_two_processes(tmp_path):
-    """JaxDistComm with process_count=2 for real: two CPU subprocesses join
-    via jax.distributed (Gloo) and round-trip unequal-size pickled objects
-    through allgather/gather/barrier — the path the tiled multi-host merge
-    uses (reference: mrcnn/sfinder.py:940-988)."""
+def test_tiled_sfinder_two_processes(tmp_path):
+    """The COMPLETE distributed tiled detect path with 2 real processes:
+    round-robin tile ownership, per-rank detection, catalog gather over
+    jax.distributed, cross-tile merge on rank 0 (reference run_parallel:
+    mrcnn/sfinder.py:549-636)."""
+    _run_two_workers("dcn_sfinder_worker.py", "SFINDER_WORKER", tmp_path,
+                     extra_args=[str(tmp_path)])
+
+
+def _run_two_workers(script, tag, tmp_path, extra_args=()):
     import os
     import socket
     import subprocess
@@ -152,11 +157,11 @@ def test_jaxdistcomm_two_processes(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
-    worker = os.path.join(os.path.dirname(__file__), "dcn_worker.py")
+    worker = os.path.join(os.path.dirname(__file__), script)
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i)],
+            [sys.executable, worker, str(port), str(i), *extra_args],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -164,7 +169,15 @@ def test_jaxdistcomm_two_processes(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert f"DCN_WORKER_{i}_OK" in out
+        assert f"{tag}_{i}_OK" in out
+
+
+def test_jaxdistcomm_two_processes(tmp_path):
+    """JaxDistComm with process_count=2 for real: two CPU subprocesses join
+    via jax.distributed (Gloo) and round-trip unequal-size pickled objects
+    through allgather/gather/barrier — the path the tiled multi-host merge
+    uses (reference: mrcnn/sfinder.py:940-988)."""
+    _run_two_workers("dcn_worker.py", "DCN_WORKER", tmp_path)

@@ -274,20 +274,25 @@ def train_loop(
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Run ``steps`` optimizer steps; returns final state + last losses."""
     history: Dict[str, float] = {}
-    t0 = time.time()
+    t_mark = time.time()
+    i_mark = 0
     for i in range(steps):
         rng, sub = jax.random.split(rng)
         batch = next(batches)
         state, losses = train_step(state, batch, sub)
         if (i + 1) % log_every == 0 or i == steps - 1:
             history = {k: float(v) for k, v in losses.items()}
-            dt = time.time() - t0
+            now = time.time()
+            # interval rate, not cumulative average: the first interval
+            # absorbs the compile, later ones show the steady state
+            rate = (now - t_mark) / max(i + 1 - i_mark, 1)
+            t_mark, i_mark = now, i + 1
             logger.info(
                 "step %d/%d loss=%.4f (%.2f s/step) %s",
                 i + 1,
                 steps,
                 history.get("total_loss", float("nan")),
-                dt / (i + 1),
+                rate,
                 {k: round(v, 4) for k, v in history.items() if k != "total_loss"},
             )
             if callback is not None:

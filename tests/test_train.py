@@ -227,3 +227,35 @@ def test_adam_optimizer_builds(tiny_cfg):
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     state, tx = create_train_state(cfg, variables, layers="heads")
     assert state.opt_state is not None
+
+
+def test_mold_batch_wire_format_equivalence():
+    """Device-side mold_batch: the thin uint8/int8 wire format and an
+    already-molded float batch produce identical tensors (zero-mean
+    radio configs), and dtypes widen correctly."""
+    import jax.numpy as jnp
+    from caesar_mrcnn_tpu.train.trainer import mold_batch
+    from caesar_mrcnn_tpu.config import detector_config
+
+    cfg = detector_config(
+        num_classes=4, class_names=("bkg", "sidelobe", "source", "galaxy"),
+        image_min_dim=64, image_max_dim=64,
+    )
+    rng = np.random.RandomState(0)
+    img_u8 = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    masks_u8 = (rng.rand(2, 28, 28, 4) > 0.5).astype(np.uint8)
+    match_i8 = rng.randint(-1, 2, (2, 16)).astype(np.int8)
+    thin = {"images": jnp.asarray(img_u8), "gt_masks": jnp.asarray(masks_u8),
+            "rpn_match": jnp.asarray(match_i8), "other": jnp.zeros((2,))}
+    fat = {"images": jnp.asarray(img_u8.astype(np.float32)),
+           "gt_masks": jnp.asarray(masks_u8.astype(np.float32)),
+           "rpn_match": jnp.asarray(match_i8.astype(np.int32)),
+           "other": jnp.zeros((2,))}
+    a = mold_batch(thin, cfg)
+    b = mold_batch(fat, cfg)
+    for k in ("images", "gt_masks", "rpn_match"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    assert a["images"].dtype == jnp.float32
+    assert a["gt_masks"].dtype == jnp.float32
+    assert a["rpn_match"].dtype == jnp.int32
+    assert "other" in a  # untouched keys pass through

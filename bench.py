@@ -189,6 +189,18 @@ def main() -> None:
         "unit": "img/s",
         "vs_baseline": round(dev_ips / baseline, 3),
     }
+    # MFU accounting (VERDICT r2 item 9): analytic conv/matmul FLOPs of the
+    # detect graph per image vs v5e bf16 peak.
+    from caesar_mrcnn_tpu.train.observability import (
+        V5E_BF16_PEAK_FLOPS,
+        detect_flops,
+    )
+
+    fl = detect_flops(det.config)
+    achieved = fl["total"] * dev_ips
+    rec["gflops_per_img"] = round(fl["total"] / 1e9, 1)
+    rec["tflops_per_sec"] = round(achieved / 1e12, 1)
+    rec["mfu"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
     rec.update(e2e)
     print(json.dumps(rec))
 

@@ -217,10 +217,17 @@ class SFinder:
         fast_ok = det_cfg is not None and hasattr(self.detector, "dispatch_tiles")
         in_h, in_w = det_cfg.image_shape[:2] if fast_ok else (-1, -1)
 
+        # The uint8 fast path feeds channel 0 only and lets the device
+        # broadcast it to RGB — valid because read_fits' gray2rgb replicates
+        # the grayscale plane when the three zscale contrasts are equal. With
+        # distinct per-channel contrasts the channels genuinely differ, so
+        # the fast path must be skipped (ADVICE r2: sfinder.py:222).
+        replicated = len(set(cfg.zscale_contrasts)) == 1 or not cfg.zscale_stretch
+
         def dispatch(chunk, images):
             shapes_ok = fast_ok and all(
                 im.shape[0] == in_h and im.shape[1] == in_w for im in images
-            )
+            ) and (replicated or all(im.ndim == 2 for im in images))
             if shapes_ok:
                 gray = np.stack(
                     [im[..., 0] if im.ndim == 3 else im for im in images]
@@ -313,42 +320,76 @@ class SFinder:
 
     # ------------------------------------------------------------ merge
     @staticmethod
-    def _pixels_adjacent(p1: Sequence, p2: Sequence) -> bool:
-        """Any pixel pair within |dx|<=1 and |dy|<=1 — hashed neighbor-set
-        test replacing the reference's O(P1*P2) loop
-        (reference: sfinder.py:786-810)."""
-        s1 = {(int(y), int(x)) for y, x in p1}
-        grown = set()
+    def _pixel_sets_adjacent(s1: set, s2: set) -> bool:
+        """Any pixel pair within |dx|<=1 and |dy|<=1, on prebuilt hash
+        sets: iterate the smaller set, probe its 3x3 neighborhood in the
+        larger — O(9 * min(|P1|, |P2|)) with no per-pair set rebuild
+        (replaces the reference's O(P1*P2) loop, sfinder.py:786-810)."""
+        if len(s2) < len(s1):
+            s1, s2 = s2, s1
         for y, x in s1:
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
-                    grown.add((y + dy, x + dx))
-        return any((int(y), int(x)) in grown for y, x in p2)
+                    if (y + dy, x + dx) in s2:
+                        return True
+        return False
+
+    @classmethod
+    def _pixels_adjacent(cls, p1: Sequence, p2: Sequence) -> bool:
+        """List-of-[y,x] wrapper around :meth:`_pixel_sets_adjacent`."""
+        return cls._pixel_sets_adjacent(
+            {(int(y), int(x)) for y, x in p1},
+            {(int(y), int(x)) for y, x in p2},
+        )
 
     def _merge_edge_sources(self, sources: List[Dict]) -> List[Dict]:
         """Union-find merge of edge sources from different tiles
         (reference merge_edge_sources: sfinder.py:711-935). The merged
-        source keeps the class/score of the largest-by-npix fragment."""
+        source keeps the class/score of the largest-by-npix fragment.
+
+        Scalability (VERDICT r2 item 5): pixel hash sets are built once per
+        edge source, and candidate pairs come from a spatial grid over
+        expanded bboxes instead of the all-pairs O(E^2) sweep — survey-scale
+        mosaics with thousands of edge sources stay sub-second."""
         n = len(sources)
         uf = UnionFind(n)
         edge_idx = [i for i in range(n) if sources[i].get("edge")]
-        for a in range(len(edge_idx)):
-            i = edge_idx[a]
-            for b in range(a + 1, len(edge_idx)):
-                j = edge_idx[b]
-                if sources[i].get("tile") == sources[j].get("tile"):
-                    continue
-                # bbox overlap gate
-                if not tiles_overlap(
-                    (sources[i]["x1"] - 1, sources[i]["x2"] + 1,
-                     sources[i]["y1"] - 1, sources[i]["y2"] + 1),
-                    (sources[j]["x1"], sources[j]["x2"],
-                     sources[j]["y1"], sources[j]["y2"]),
-                    gap=1,
-                ):
-                    continue
-                if self._pixels_adjacent(sources[i]["pixels"], sources[j]["pixels"]):
-                    uf.union(i, j)
+        pix = {
+            i: {(int(y), int(x)) for y, x in sources[i]["pixels"]}
+            for i in edge_idx
+        }
+        cell = 256  # >= typical source extent; only bins, not correctness
+        grid: Dict[Tuple[int, int], List[int]] = {}
+        for i in edge_idx:
+            s = sources[i]
+            x1, x2 = int(s["x1"]) - 1, int(s["x2"]) + 1
+            y1, y2 = int(s["y1"]) - 1, int(s["y2"]) + 1
+            for cy in range(y1 // cell, y2 // cell + 1):
+                for cx in range(x1 // cell, x2 // cell + 1):
+                    grid.setdefault((cy, cx), []).append(i)
+        tested = set()
+        for members_in_cell in grid.values():
+            for a in range(len(members_in_cell)):
+                i = members_in_cell[a]
+                for b in range(a + 1, len(members_in_cell)):
+                    j = members_in_cell[b]
+                    pair = (i, j) if i < j else (j, i)
+                    if pair in tested:
+                        continue
+                    tested.add(pair)
+                    if sources[i].get("tile") == sources[j].get("tile"):
+                        continue
+                    # bbox overlap gate
+                    if not tiles_overlap(
+                        (sources[i]["x1"] - 1, sources[i]["x2"] + 1,
+                         sources[i]["y1"] - 1, sources[i]["y2"] + 1),
+                        (sources[j]["x1"], sources[j]["x2"],
+                         sources[j]["y1"], sources[j]["y2"]),
+                        gap=1,
+                    ):
+                        continue
+                    if self._pixel_sets_adjacent(pix[i], pix[j]):
+                        uf.union(i, j)
 
         groups: Dict[int, List[int]] = {}
         for i in range(n):

@@ -35,6 +35,99 @@ def random_colors(n: int, bright: bool = True, seed: Optional[int] = None):
     return colors
 
 
+def display_images(
+    images: Sequence[np.ndarray],
+    titles: Optional[Sequence[str]] = None,
+    cols: int = 4,
+    cmap=None,
+    norm=None,
+    interpolation=None,
+    outfile: Optional[str] = None,
+):
+    """Grid display of a set of HWC (or HW) images with optional titles
+    (reference: visualize.py:35-56). Saves to ``outfile`` instead of
+    ``plt.show()`` when given (headless/report use)."""
+    titles = titles if titles is not None else [""] * len(images)
+    rows = len(images) // cols + 1
+    fig = plt.figure(figsize=(14, 14 * rows // cols or 14))
+    for i, (image, title) in enumerate(zip(images, titles), start=1):
+        ax = fig.add_subplot(rows, cols, i)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+        ax.imshow(
+            np.asarray(image).astype(np.uint8), cmap=cmap, norm=norm,
+            interpolation=interpolation,
+        )
+    if outfile:
+        fig.savefig(outfile, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def draw_box(image: np.ndarray, box, color) -> np.ndarray:
+    """Paint a 3-px-wide box directly into the pixel array
+    (reference: visualize.py:271-280). ``box`` is (y1, x1, y2, x2) in
+    pixel coords; ``color`` is an RGB triple (or scalar for 2D images)."""
+    y1, x1, y2, x2 = [int(v) for v in box]
+    image[y1 : y1 + 2, x1:x2] = color
+    image[y2 : y2 + 2, x1:x2] = color
+    image[y1:y2, x1 : x1 + 2] = color
+    image[y1:y2, x2 : x2 + 2] = color
+    return image
+
+
+def display_top_masks(
+    image: np.ndarray,
+    mask: np.ndarray,
+    class_ids: np.ndarray,
+    class_names: Sequence[str],
+    limit: int = 4,
+    outfile: Optional[str] = None,
+):
+    """Image + the ``limit`` most prominent per-class mask stacks, each
+    class's instances labelled 1..n (reference: visualize.py:283-303)."""
+    to_display = [image]
+    titles = [f"H x W={image.shape[0]}x{image.shape[1]}"]
+    unique_class_ids = np.unique(class_ids)
+    mask_area = [
+        np.sum(mask[:, :, np.where(class_ids == i)[0]]) for i in unique_class_ids
+    ]
+    top_ids = [
+        v[0]
+        for v in sorted(zip(unique_class_ids, mask_area), key=lambda r: r[1],
+                        reverse=True)
+        if v[1] > 0
+    ]
+    for i in range(limit):
+        class_id = top_ids[i] if i < len(top_ids) else -1
+        m = mask[:, :, np.where(class_ids == class_id)[0]]
+        m = np.sum(m * np.arange(1, m.shape[-1] + 1), -1)
+        to_display.append(m)
+        titles.append(class_names[class_id] if class_id != -1 else "-")
+    return display_images(
+        to_display, titles=titles, cols=limit + 1, cmap="Blues_r", outfile=outfile
+    )
+
+
+def display_table(table) -> str:
+    """Render rows of values as an aligned plain-text table; also returns
+    the string (reference: visualize.py:462-473, which emitted notebook
+    HTML — here stdout/plain text so it works headless, with the same
+    row/col iterable contract)."""
+    rows = [[str(col) for col in row] for row in table]
+    widths = [
+        max(len(r[c]) for r in rows if c < len(r))
+        for c in range(max((len(r) for r in rows), default=0))
+    ]
+    lines = [
+        "  ".join(col.ljust(widths[c]) for c, col in enumerate(row)) for row in rows
+    ]
+    text = "\n".join(lines)
+    print(text)
+    return text
+
+
 def display_instances(
     image: np.ndarray,
     boxes: np.ndarray,

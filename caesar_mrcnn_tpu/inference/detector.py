@@ -36,6 +36,7 @@ class Detector:
         self.variables = variables  # property: device-resident
         self._fn = make_inference_fn(model)
         self._premold = None  # lazily-jitted device-side mold for tiles
+        self._tile_consts = {}  # (h, w, bs) -> device-resident (metas, anchors)
 
     @property
     def variables(self) -> Dict:
@@ -154,6 +155,7 @@ class Detector:
         h, w, _c = cfg.image_shape
         n_in = tiles.shape[0]
         bs = cfg.batch_size
+        assert n_in > 0, "dispatch_tiles got an empty batch"
         assert tiles.shape[1] == h and tiles.shape[2] == w, (
             f"tiles {tiles.shape[1:3]} != compiled input {(h, w)}"
         )
@@ -163,13 +165,24 @@ class Detector:
                 [tiles, np.repeat(tiles[-1:], bs - n_in, axis=0)]
             )
         molded = self._premold_fn()(jnp.asarray(tiles))
-        meta = compose_image_meta(
-            0, (h, w, _c), (h, w, _c), (0, 0, h, w), 1.0, np.zeros(cfg.num_classes)
-        )
-        metas = jnp.asarray(np.tile(meta.astype(np.float32), (bs, 1)))
-        anchors = jnp.asarray(get_anchors(cfg, (h, w, _c)))
+        metas, anchors = self._tile_constants(h, w, _c, bs)
         out = self._fn(self.variables, molded, metas, anchors)
         return out, n_in, (h, w, _c)
+
+    def _tile_constants(self, h: int, w: int, c: int, bs: int):
+        """Device-resident metas/anchors for the tiled fast path, cached per
+        shape — re-uploading ~260 KB per dispatch through the ~100 MB/s
+        tunnel violated the device-resident-inputs invariant."""
+        key = (h, w, bs)
+        if key not in self._tile_consts:
+            cfg = self.config
+            meta = compose_image_meta(
+                0, (h, w, c), (h, w, c), (0, 0, h, w), 1.0, np.zeros(cfg.num_classes)
+            )
+            metas = jax.device_put(np.tile(meta.astype(np.float32), (bs, 1)))
+            anchors = jax.device_put(get_anchors(cfg, (h, w, c)))
+            self._tile_consts[key] = (metas, anchors)
+        return self._tile_consts[key]
 
     def collect(self, handle) -> List[Dict]:
         """Fetch + unmold a :meth:`dispatch_tiles` batch."""

@@ -164,8 +164,7 @@ def _self_suppress_bool(adj: jnp.ndarray) -> jnp.ndarray:
 
     ``adj[j, i]`` (strictly upper-triangular) = True when box j suppresses
     box i if j survives. Returns the survivor mask: box i survives iff no
-    surviving j < i has an edge to i — resolved by a **fixed-count**
-    ``fori_loop`` scan over the block.
+    surviving j < i has an edge to i.
 
     Implemented as an edge-removal fixpoint (`while_loop`): each
     iteration finds boxes with no incoming suppression edges and deletes

@@ -110,6 +110,45 @@ def test_visualize_display_instances(tmp_path):
     assert stats[0]["name"] == "layer/kernel"
 
 
+def test_visualize_grid_box_topmasks_table(tmp_path):
+    """display_images / draw_box / display_top_masks / display_table —
+    the last reference visualize functions (reference: visualize.py:35,
+    271, 283, 462; VERDICT r2 item 6)."""
+    from caesar_mrcnn_tpu.analysis.visualize import (
+        display_images,
+        display_table,
+        display_top_masks,
+        draw_box,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (32, 32, 3)).astype(np.uint8) for _ in range(3)]
+    out = str(tmp_path / "grid.png")
+    display_images(imgs, titles=["a", "b", "c"], cols=2, outfile=out)
+    assert os.path.isfile(out)
+
+    img = np.zeros((40, 40, 3), np.uint8)
+    draw_box(img, (5, 5, 20, 30), (255, 0, 0))
+    assert (img[5, 10] == (255, 0, 0)).all()    # top edge
+    assert (img[20, 10] == (255, 0, 0)).all()   # bottom edge
+    assert (img[10, 5] == (255, 0, 0)).all()    # left edge
+    assert (img[3, 10] == 0).all()              # outside
+
+    image = rng.randint(0, 255, (48, 48, 3)).astype(np.uint8)
+    mask = np.zeros((48, 48, 3), bool)
+    mask[5:15, 5:15, 0] = True    # class 1
+    mask[20:40, 20:40, 1] = True  # class 2 (largest area -> first panel)
+    mask[30:35, 5:10, 2] = True   # class 1 again
+    class_ids = np.array([1, 2, 1])
+    out2 = str(tmp_path / "topmasks.png")
+    display_top_masks(image, mask, class_ids, ["bkg", "source", "galaxy"],
+                      limit=3, outfile=out2)
+    assert os.path.isfile(out2)
+
+    text = display_table([["NAME", "SHAPE"], ["conv1", "(7, 7, 3, 64)"]])
+    assert "conv1" in text and text.splitlines()[0].startswith("NAME")
+
+
 def test_visualize_draw_rois(tmp_path):
     from caesar_mrcnn_tpu.analysis.visualize import draw_rois
 
@@ -126,6 +165,38 @@ def test_visualize_draw_rois(tmp_path):
     )
     assert os.path.isfile(out)
     assert (n_pos, n_neg) == (2, 1)
+
+
+def test_detect_flops_analytic_vs_xla():
+    """The analytic FLOP counter (MFU accounting) must agree with XLA's
+    compiled cost analysis on the backbone, where ~all FLOPs live."""
+    import jax
+    import jax.numpy as jnp
+
+    from caesar_mrcnn_tpu.config import detector_config
+    from caesar_mrcnn_tpu.models.backbone import ResNet
+    from caesar_mrcnn_tpu.train.observability import detect_flops, xla_flops
+
+    cfg = detector_config(
+        num_classes=4, class_names=("bkg", "a", "b", "c"),
+        image_min_dim=128, image_max_dim=128, backbone="resnet50",
+        images_per_device=1, num_devices=1,
+    )
+    model = ResNet(architecture="resnet50")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fn = jax.jit(lambda v, x: model.apply(v, x))
+    measured = xla_flops(fn, variables, x)
+    assert measured is not None
+    analytic = detect_flops(cfg)["backbone"]
+    # XLA adds BN/relu elementwise flops but discounts kernel taps that
+    # overlap SAME-padding at borders; the analytic counter uses the
+    # standard full-kernel convention, so it sits a few % above.
+    assert abs(measured - analytic) / measured < 0.08, (measured, analytic)
+
+    fl = detect_flops(cfg)
+    assert fl["total"] == sum(v for k, v in fl.items() if k != "total")
+    assert fl["classifier"] > 0 and fl["mask"] > 0 and fl["rpn"] > 0
 
 
 def test_introspection(tmp_path):

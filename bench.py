@@ -120,7 +120,14 @@ def make_mosaic(path: str, n: int, seed: int = 0) -> None:
 
 
 def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
-    """End-to-end tiled FITS detect (read+zscale+mold -> device -> unmold)."""
+    """End-to-end tiled FITS detect (read+zscale+mold -> device -> unmold).
+
+    Measures both fast wire formats (VERDICT r2 item 1):
+    * ``u8``  — host-fused zscale to uint8, thin wire (0.25 MB/tile);
+    * ``raw`` — raw f32 pixels over the wire (1 MB/tile), NaN-fill +
+      stretch + quantize + mold on device; host only reads + fits limits.
+    Headline ``e2e_img_per_sec`` is the configured default (config.tile_wire).
+    """
     from caesar_mrcnn_tpu.utils import fits as F
     from caesar_mrcnn_tpu.utils.tiles import generate_tiles
 
@@ -134,25 +141,36 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     tiles = generate_tiles(0, mosaic_n, 0, mosaic_n, size, size)  # step 1.0
     chunks = [tiles[s : s + batch] for s in range(0, len(tiles), batch)]
 
-    def prep_tile(tile):
+    def prep_u8(tile):
         x1, x2, y1, y2 = tile
-        out = F.read_fits(path, xmin=x1, xmax=x2, ymin=y1, ymax=y2)
-        return out[0]
+        return F.read_tile_u8(path, x1, x2, y1, y2)
 
-    def run_pass(pool) -> int:
+    def prep_raw(tile):
+        x1, x2, y1, y2 = tile
+        return F.read_tile_raw(path, x1, x2, y1, y2)
+
+    def dispatch_u8(payloads):
+        return det.dispatch_tiles(np.stack(payloads))
+
+    def dispatch_raw(payloads):
+        raws = np.stack([p[0] for p in payloads])
+        lims = np.asarray([p[1] for p in payloads], dtype=np.float32)
+        return det.dispatch_tiles_raw(raws, lims)
+
+    modes = {"u8": (prep_u8, dispatch_u8), "raw": (prep_raw, dispatch_raw)}
+
+    def run_pass(pool, prep, dispatch) -> int:
         """One full pass over the mosaic; returns images processed."""
         n_done = 0
         # producer: each chunk's tiles are prepped in the pool; chunk
         # futures are consumed in order while later chunks prep in the
         # background (the sfinder producer-thread pattern, widened).
-        # Device work is pipelined two-deep: batch k+1 dispatches (uint8
-        # wire + on-device mold) before batch k is fetched and unmolded.
-        chunk_futs = [[pool.submit(prep_tile, t) for t in ch] for ch in chunks]
+        # Device work is pipelined two-deep: batch k+1 dispatches before
+        # batch k is fetched and unmolded.
+        chunk_futs = [[pool.submit(prep, t) for t in ch] for ch in chunks]
         pending = None
         for futs in chunk_futs:
-            images = [f.result() for f in futs]
-            gray = np.stack([im[..., 0] for im in images])
-            handle = det.dispatch_tiles(gray)
+            handle = dispatch([f.result() for f in futs])
             if pending is not None:
                 results = det.collect(pending)
                 n_done += len(results)
@@ -162,17 +180,23 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         n_done += len(results)
         return n_done
 
+    out = {"e2e_tiles": len(tiles), "e2e_mosaic": mosaic_n,
+           "e2e_workers": workers, "e2e_batch": batch}
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        t0 = time.perf_counter()
-        run_pass(pool)  # warmup (compiles the detect graph for this shape)
-        if os.environ.get("BENCH_VERBOSE"):
-            print(f"e2e warmup pass: {time.perf_counter() - t0:.1f}s", flush=True)
-        passes = 2
-        t0 = time.perf_counter()
-        n = sum(run_pass(pool) for _ in range(passes))
-        dt = time.perf_counter() - t0
-    return {"e2e_img_per_sec": round(n / dt, 2), "e2e_tiles": len(tiles),
-            "e2e_mosaic": mosaic_n, "e2e_workers": workers}
+        for name, (prep, dispatch) in modes.items():
+            t0 = time.perf_counter()
+            run_pass(pool, prep, dispatch)  # warmup/compile for this shape
+            if os.environ.get("BENCH_VERBOSE"):
+                print(f"e2e[{name}] warmup pass: {time.perf_counter() - t0:.1f}s",
+                      flush=True)
+            passes = 2
+            t0 = time.perf_counter()
+            n = sum(run_pass(pool, prep, dispatch) for _ in range(passes))
+            dt = time.perf_counter() - t0
+            out[f"e2e_{name}_img_per_sec"] = round(n / dt, 2)
+    default = det.config.tile_wire if det.config.tile_wire in modes else "u8"
+    out["e2e_img_per_sec"] = out[f"e2e_{default}_img_per_sec"]
+    return out
 
 
 def main() -> None:
@@ -181,7 +205,12 @@ def main() -> None:
     dev_ips = measure_device(det, batch, size)
     e2e = {}
     if "--device-only" not in sys.argv:
-        e2e = measure_e2e(det, batch, size)
+        # e2e runs batch 16: the tiled pipeline is upload-channel-bound
+        # through the TPU tunnel, and larger batches amortize the fixed
+        # per-transfer latency (measured u8 e2e: b8 50.5, b16 77.0,
+        # b32 68.1 img/s); the device graph alone is fastest at batch 8.
+        det16 = build_detector(16, size)
+        e2e = measure_e2e(det16, 16, size)
     baseline = 50.0
     rec = {
         "metric": "img/sec/chip at 512^2 FITS detect (resnet101 bf16 batch 8)",

@@ -184,62 +184,100 @@ class SFinder:
         chunks = [my_tiles[s : s + bs] for s in range(0, len(my_tiles), bs)]
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
+        det_cfg = getattr(self.detector, "config", None)
+        fast_ok = det_cfg is not None and hasattr(self.detector, "dispatch_tiles")
+        in_h, in_w = det_cfg.image_shape[:2] if fast_ok else (-1, -1)
+        # The fast wire formats reproduce the read_fits chain only for the
+        # default knob set: zscale on (equal per-channel contrasts — with
+        # distinct contrasts the RGB channels genuinely differ and channel-0
+        # broadcast would diverge from detect()), no bias-contrast stretch,
+        # uint8 RGB output (reference chain: mrcnn/utils.py:1033-1163).
+        fast_knobs = (
+            cfg.zscale_stretch
+            and not cfg.bias_contrast_stretch
+            and cfg.img_to_rgb
+            and cfg.img_to_uint8
+            and len(set(cfg.zscale_contrasts)) == 1
+        )
+        wire = cfg.tile_wire if fast_knobs and fast_ok else "slow"
+        contrast0 = cfg.zscale_contrasts[0]
+
+        def read_one(x1, x2, y1, y2):
+            """One windowed tile read -> (kind, payload).
+
+            'u8'  : uint8 [H,W] — host-fused stretch, thin wire;
+            'raw' : (f32 [H,W], (vmin, vmax)) — on-device preprocessing;
+            'img' : preprocessed image via the full read_fits chain
+                    (clamped border tiles and non-default knobs).
+            """
+            if (y2 - y1, x2 - x1) == (in_h, in_w) and wire in ("u8", "raw"):
+                if wire == "raw":
+                    out = F.read_tile_raw(image_path, x1, x2, y1, y2,
+                                          contrast=contrast0)
+                else:
+                    out = F.read_tile_u8(image_path, x1, x2, y1, y2,
+                                         contrast=contrast0)
+                if out is not None:
+                    return (wire, out)
+            full = F.read_fits(
+                image_path,
+                xmin=x1, xmax=x2, ymin=y1, ymax=y2,
+                stretch=cfg.zscale_stretch,
+                zscale_contrasts=cfg.zscale_contrasts,
+                normalize=cfg.normalize_img,
+                convert_to_rgb=cfg.img_to_rgb,
+                to_uint8=cfg.img_to_uint8,
+                stretch_biascontrast=cfg.bias_contrast_stretch,
+                contrast=cfg.img_contrast,
+                bias=cfg.img_bias,
+            )
+            return ("img", full[0])
+
         def producer():
             try:
                 for chunk in chunks:
-                    images = []
-                    for _, (x1, x2, y1, y2) in chunk:
-                        out = F.read_fits(
-                            image_path,
-                            xmin=x1, xmax=x2, ymin=y1, ymax=y2,
-                            stretch=cfg.zscale_stretch,
-                            zscale_contrasts=cfg.zscale_contrasts,
-                            normalize=cfg.normalize_img,
-                            convert_to_rgb=cfg.img_to_rgb,
-                            to_uint8=cfg.img_to_uint8,
-                            stretch_biascontrast=cfg.bias_contrast_stretch,
-                            contrast=cfg.img_contrast,
-                            bias=cfg.img_bias,
-                        )
-                        images.append(out[0])
-                    q.put((chunk, images))
+                    items = [read_one(x1, x2, y1, y2)
+                             for _, (x1, x2, y1, y2) in chunk]
+                    q.put((chunk, items))
                 q.put(None)
             except Exception as e:  # noqa: BLE001
                 q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
 
+        def as_image(kind, payload):
+            """RGB image a detect() fallback would have gotten."""
+            if kind == "u8":
+                return np.stack([payload] * 3, axis=-1)
+            if kind == "raw":
+                from ..native import stretch_to_u8
+
+                data, (vmin, vmax) = payload
+                u8 = stretch_to_u8(data, vmin, vmax)
+                return np.stack([u8] * 3, axis=-1)
+            return payload
+
         # Two-deep pipeline: dispatch batch k+1 to the device before
         # fetching/post-processing batch k, so host unmold + source
-        # extraction overlap device inference (and the uint8 tile fast
-        # path keeps the host->device wire 12x thinner than molded f32).
-        det_cfg = getattr(self.detector, "config", None)
-        fast_ok = det_cfg is not None and hasattr(self.detector, "dispatch_tiles")
-        in_h, in_w = det_cfg.image_shape[:2] if fast_ok else (-1, -1)
-
-        # The uint8 fast path feeds channel 0 only and lets the device
-        # broadcast it to RGB — valid because read_fits' gray2rgb replicates
-        # the grayscale plane when the three zscale contrasts are equal. With
-        # distinct per-channel contrasts the channels genuinely differ, so
-        # the fast path must be skipped (ADVICE r2: sfinder.py:222).
-        replicated = len(set(cfg.zscale_contrasts)) == 1 or not cfg.zscale_stretch
-
-        def dispatch(chunk, images):
-            shapes_ok = fast_ok and all(
-                im.shape[0] == in_h and im.shape[1] == in_w for im in images
-            ) and (replicated or all(im.ndim == 2 for im in images))
-            if shapes_ok:
-                gray = np.stack(
-                    [im[..., 0] if im.ndim == 3 else im for im in images]
-                )
+        # extraction overlap device inference.
+        def dispatch(chunk, items):
+            kinds = {k for k, _ in items}
+            if kinds == {"u8"}:
+                gray = np.stack([p for _, p in items])
                 return ("handle", self.detector.dispatch_tiles(gray))
+            if kinds == {"raw"}:
+                raws = np.stack([p[0] for _, p in items])
+                lims = np.asarray([p[1] for _, p in items], dtype=np.float32)
+                return ("handle", self.detector.dispatch_tiles_raw(raws, lims))
+            images = [as_image(k, p) for k, p in items]
             return ("results", self.detector.detect(images))  # resize path
 
-        def consume(chunk, images, kind, payload):
+        def consume(chunk, items, kind, payload):
             results = (
                 self.detector.collect(payload) if kind == "handle" else payload
             )
-            for (tile_idx, tile), img, r in zip(chunk, images, results):
+            for (tile_idx, tile), (k, p), r in zip(chunk, items, results):
+                img = p if k == "u8" else (p[0] if k == "raw" else p)
                 my_sources.extend(
                     self._tile_sources(tile_idx, tile, tiles, img, r)
                 )
@@ -251,11 +289,11 @@ class SFinder:
                 break
             if isinstance(item, Exception):
                 raise item
-            chunk, images = item
-            kind, payload = dispatch(chunk, images)
+            chunk, items = item
+            kind, payload = dispatch(chunk, items)
             if pending is not None:
                 consume(*pending)
-            pending = (chunk, images, kind, payload)
+            pending = (chunk, items, kind, payload)
         if pending is not None:
             consume(*pending)
 

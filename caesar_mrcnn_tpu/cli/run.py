@@ -428,12 +428,16 @@ def run_detect(args, cfg: Config) -> int:
     """(reference: scripts/run.py:1172-1189)."""
     from ..analysis.sfinder import SFinder
 
-    # Rectangular tiles supported (reference: scripts/run.py:235-239): the
-    # detector molds tiles square-mode to the longest tile side.
-    tile_long = max(cfg.tile_xsize, cfg.tile_ysize)
+    # Rectangular tiles compile the detect graph for the exact
+    # (tile_ysize, tile_xsize) so they ride the thin-wire fast path
+    # instead of square-molding through host resize
+    # (reference tile knobs: scripts/run.py:235-239).
     detector = _build_detector(
-        args, cfg.replace(image_min_dim=min(cfg.tile_xsize, cfg.tile_ysize),
-                          image_max_dim=tile_long)
+        args, cfg.replace(
+            image_min_dim=min(cfg.tile_xsize, cfg.tile_ysize),
+            image_max_dim=max(cfg.tile_xsize, cfg.tile_ysize),
+            input_shape_override=(cfg.tile_ysize, cfg.tile_xsize),
+        )
         if cfg.split_img_in_tiles else cfg
     )
     sf = SFinder(detector, detector.config)

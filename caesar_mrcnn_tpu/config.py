@@ -76,6 +76,12 @@ class Config:
     image_max_dim: int = 1024
     image_min_scale: float = 0.0
     image_channel_count: int = 3
+    # Compile the network input for an explicit (possibly NON-square)
+    # (h, w) instead of the square derived from min/max dim — used by the
+    # tiled detect path so rectangular tiles take the thin-wire fast path
+    # instead of square-molding through host resize (reference tile knobs:
+    # scripts/run.py:235-239).
+    input_shape_override: Tuple[int, int] | None = None
     mean_pixel: Tuple[float, ...] = (123.7, 116.8, 103.9)
 
     # --- ROI heads --------------------------------------------------------
@@ -151,6 +157,14 @@ class Config:
     tile_ysize: int = 512
     tile_xstep: float = 1.0
     tile_ystep: float = 1.0
+    # host->device wire format for full-size tiles (default knobs only):
+    # "u8" = host-fused zscale -> uint8 wire (thin); "raw" = f32 raw pixels
+    # + on-device preprocessing; "slow" = legacy full host chain.
+    tile_wire: str = "u8"
+    # device->host mask wire: "uint8" quantizes sigmoid masks to u8 on
+    # device (4x thinner fetch, invisible after the 0.5 unmold threshold);
+    # "float32" ships raw probabilities.
+    mask_wire_dtype: str = "uint8"
     max_ntasks_per_worker: int = 100
 
     # ------------------------------------------------------------------ derived
@@ -162,6 +176,9 @@ class Config:
     @property
     def image_shape(self) -> Tuple[int, int, int]:
         """Network input shape (reference: mrcnn/config.py:229-236)."""
+        if self.input_shape_override is not None:
+            h, w = self.input_shape_override
+            return (int(h), int(w), self.image_channel_count)
         if self.image_resize_mode == "crop":
             return (self.image_min_dim, self.image_min_dim, self.image_channel_count)
         return (self.image_max_dim, self.image_max_dim, self.image_channel_count)

@@ -36,6 +36,8 @@ class Detector:
         self.variables = variables  # property: device-resident
         self._fn = make_inference_fn(model)
         self._premold = None  # lazily-jitted device-side mold for tiles
+        self._premold_raw = None  # device-side full preprocessing chain
+        self._tile_fns = {}  # wire -> fused jitted (premold + forward + pack)
         self._tile_consts = {}  # (h, w, bs) -> device-resident (metas, anchors)
 
     @property
@@ -91,6 +93,8 @@ class Detector:
         class_ids = detections[:n, 4].astype(np.int32)
         scores = detections[:n, 5]
         masks = mrcnn_mask[:n]
+        if masks.dtype == np.uint8:  # u8 mask wire (config.mask_wire_dtype)
+            masks = masks.astype(np.float32) / 255.0
 
         window_n = B.norm_boxes(np.asarray(window), image_shape[:2])
         wy1, wx1, wy2, wx2 = window_n
@@ -141,6 +145,154 @@ class Detector:
             self._premold = premold
         return self._premold
 
+    def _premold_raw_fn(self):
+        """Device-side preprocessing for RAW tile pixels: the full
+        astronomy chain (NaN fill -> zscale interval map -> clip ->
+        uint8 quantization -> RGB broadcast -> mean subtraction) fused
+        on-chip, so the 1-CPU host only reads bytes and fits zscale
+        limits on a 1000-pixel subsample (VERDICT r2 item 1; semantics:
+        mrcnn/utils.py:1033-1163). The wire carries f32 raw pixels (4x
+        the uint8 fast path) — measure both, the tunnel decides."""
+        if self._premold_raw is None:
+            cfg = self.config
+            mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
+            nch = cfg.image_channel_count
+
+            @jax.jit
+            def premold_raw(raw, vmin, vmax):  # [B,H,W] f32, [B], [B]
+                x = raw.astype(jnp.float32)
+                finite = jnp.isfinite(x)
+                guarded = jnp.where(finite, x, jnp.inf)
+                fill = jnp.min(guarded, axis=(1, 2), keepdims=True)
+                fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+                x = jnp.where(finite, x, fill)
+                lo = vmin[:, None, None]
+                span = vmax[:, None, None] - lo
+                x = jnp.where(span > 0, (x - lo) / span, 0.0)
+                x = jnp.clip(x, 0.0, 1.0)
+                # uint8-quantization parity with the host path (gray2rgb
+                # rounds to 0..255; normalize-after-zscale is the identity,
+                # see utils/fits.py::preprocess_tile_u8)
+                x = jnp.round(x * 255.0)
+                x = jnp.broadcast_to(x[..., None], x.shape + (nch,))
+                return x - mean
+
+            self._premold_raw = premold_raw
+        return self._premold_raw
+
+    def _tile_fn(self, wire: str):
+        """Fused jitted tile step: device-side premold + forward + packed
+        output, ONE jit dispatch per batch and (with the u8 mask wire) ONE
+        device->host fetch per batch.
+
+        Through the tunneled-TPU RPC channel every dispatch/fetch costs
+        fixed latency on top of ~16-21 MB/s upload bandwidth (measured,
+        CLAUDE.md); the tiled hot loop is channel-bound, so RPC count is
+        throughput. The packed buffer is ``[B, D, 24 + mh*mw]`` uint8:
+        detections bitcast to 24 bytes + the u8 mask plane.
+        """
+        if wire not in self._tile_fns:
+            from ..models.mask_rcnn import forward_inference
+
+            cfg = self.config
+            mean = jnp.asarray(cfg.mean_pixel, dtype=jnp.float32)
+            nch = cfg.image_channel_count
+            model = self.model
+            pack = cfg.mask_wire_dtype == "uint8"
+
+            def premold_u8(raw):
+                x = raw.astype(jnp.float32)
+                x = jnp.broadcast_to(x[..., None], x.shape + (nch,))
+                return x - mean
+
+            def premold_raw(raw, vmin, vmax):
+                x = raw.astype(jnp.float32)
+                finite = jnp.isfinite(x)
+                guarded = jnp.where(finite, x, jnp.inf)
+                fill = jnp.min(guarded, axis=(1, 2), keepdims=True)
+                fill = jnp.where(jnp.isfinite(fill), fill, 0.0)
+                x = jnp.where(finite, x, fill)
+                lo = vmin[:, None, None]
+                span = vmax[:, None, None] - lo
+                x = jnp.where(span > 0, (x - lo) / span, 0.0)
+                x = jnp.clip(x, 0.0, 1.0)
+                x = jnp.round(x * 255.0)
+                x = jnp.broadcast_to(x[..., None], x.shape + (nch,))
+                return x - mean
+
+            def run(variables, molded, metas, anchors):
+                out = forward_inference(model, variables, molded, metas, anchors)
+                if not pack:
+                    return out
+                b, d = out.detections.shape[:2]
+                det_bytes = jax.lax.bitcast_convert_type(
+                    out.detections.astype(jnp.float32), jnp.uint8
+                ).reshape(b, d, 24)
+                m = out.masks.reshape(b, d, -1)
+                return jnp.concatenate([det_bytes, m], axis=-1)
+
+            if wire == "u8":
+
+                @jax.jit
+                def fn(variables, raw, metas, anchors):
+                    return run(variables, premold_u8(raw), metas, anchors)
+
+            else:
+
+                @jax.jit
+                def fn(variables, raw, vmin, vmax, metas, anchors):
+                    return run(
+                        variables, premold_raw(raw, vmin, vmax), metas, anchors
+                    )
+
+            self._tile_fns[wire] = fn
+        return self._tile_fns[wire]
+
+    def _unpack(self, out):
+        """Packed tile-step buffer (or InferenceOutput) -> host arrays."""
+        if hasattr(out, "detections"):
+            return np.asarray(out.detections), np.asarray(out.masks)
+        buf = np.asarray(out)  # [B, D, 24 + mh*mw] u8 — single fetch
+        b, d, _ = buf.shape
+        detections = (
+            np.ascontiguousarray(buf[:, :, :24]).view(np.float32).reshape(b, d, 6)
+        )
+        mh = 2 * self.config.mask_pool_size
+        masks = buf[:, :, 24:].reshape(b, d, mh, -1)
+        return detections, masks
+
+    def dispatch_tiles_raw(self, raw: np.ndarray, limits: np.ndarray):
+        """Async-dispatch detection on RAW float32 tiles with host-fitted
+        zscale limits; all per-pixel preprocessing runs on-device.
+
+        ``raw``: [B, H, W] float32 windowed FITS pixels (NaNs allowed);
+        ``limits``: [B, 2] (vmin, vmax) per tile. Returns a handle for
+        :meth:`collect`.
+        """
+        cfg = self.config
+        h, w, _c = cfg.image_shape
+        n_in = raw.shape[0]
+        bs = cfg.batch_size
+        assert n_in > 0, "dispatch_tiles_raw got an empty batch"
+        assert raw.shape[1] == h and raw.shape[2] == w, (
+            f"tiles {raw.shape[1:3]} != compiled input {(h, w)}"
+        )
+        assert n_in <= bs, f"dispatch_tiles_raw got {n_in} tiles, batch_size={bs}"
+        limits = np.asarray(limits, dtype=np.float32).reshape(n_in, 2)
+        if n_in < bs:
+            raw = np.concatenate([raw, np.repeat(raw[-1:], bs - n_in, axis=0)])
+            limits = np.concatenate(
+                [limits, np.repeat(limits[-1:], bs - n_in, axis=0)]
+            )
+        metas, anchors = self._tile_constants(h, w, _c, bs)
+        out = self._tile_fn("raw")(
+            self.variables,
+            jnp.asarray(raw, dtype=jnp.float32),
+            jnp.asarray(limits[:, 0]), jnp.asarray(limits[:, 1]),
+            metas, anchors,
+        )
+        return out, n_in, (h, w, _c)
+
     def dispatch_tiles(self, tiles: np.ndarray):
         """Async-dispatch detection on a batch of pre-sized tiles.
 
@@ -164,9 +316,10 @@ class Detector:
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], bs - n_in, axis=0)]
             )
-        molded = self._premold_fn()(jnp.asarray(tiles))
         metas, anchors = self._tile_constants(h, w, _c, bs)
-        out = self._fn(self.variables, molded, metas, anchors)
+        out = self._tile_fn("u8")(
+            self.variables, jnp.asarray(tiles), metas, anchors
+        )
         return out, n_in, (h, w, _c)
 
     def _tile_constants(self, h: int, w: int, c: int, bs: int):
@@ -187,8 +340,7 @@ class Detector:
     def collect(self, handle) -> List[Dict]:
         """Fetch + unmold a :meth:`dispatch_tiles` batch."""
         out, n_in, shape = handle
-        detections = np.asarray(out.detections)
-        masks = np.asarray(out.masks)
+        detections, masks = self._unpack(out)
         window = (0, 0, shape[0], shape[1])
         results = []
         for i in range(n_in):

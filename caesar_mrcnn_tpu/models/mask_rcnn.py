@@ -213,6 +213,13 @@ def forward_inference(
     masks = jnp.take_along_axis(
         mrcnn_mask, det_class[:, :, None, None, None], axis=-1
     )[..., 0]
+    if cfg.mask_wire_dtype == "uint8":
+        # Quantize sigmoid probabilities to u8 on device: the device->host
+        # mask fetch shrinks 4x (2.5 -> 0.63 MB per batch 8 at 28^2x100),
+        # and unmold thresholds at 0.5 after bilinear resize, so 1/255
+        # quantization is invisible there. Host side divides by 255
+        # (inference/detector.py::unmold_detections).
+        masks = jnp.round(masks * 255.0).astype(jnp.uint8)
     return InferenceOutput(detections, masks, proposals, rpn_probs)
 
 

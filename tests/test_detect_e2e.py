@@ -106,3 +106,58 @@ def test_detect_tiles_fast_path_matches_detect(detector):
     r2 = detector.collect(h2)
     np.testing.assert_allclose(r1[0]["rois"], ref["rois"], atol=1e-5)
     assert len(r2) == 1
+
+
+def test_dispatch_tiles_raw_matches_u8_path(detector):
+    """On-device preprocessing (raw f32 wire + zscale limits) must match
+    the host-fused uint8 path: same premolded pixels (up to 1 quantum on
+    rounding-boundary pixels), same detections on identical premolds."""
+    from caesar_mrcnn_tpu.native import stretch_to_u8
+    from caesar_mrcnn_tpu.utils.zscale import zscale_limits
+
+    rng = np.random.RandomState(11)
+    raw = rng.normal(0.0, 0.1, (1, 128, 128)).astype(np.float32)
+    raw[0, 30:60, 30:60] += 4.0
+    raw[0, 5, 5] = np.nan
+    vmin, vmax = zscale_limits(np.nan_to_num(raw[0], nan=np.nanmin(raw)), 0.25)
+    u8 = stretch_to_u8(np.nan_to_num(raw[0], nan=np.nanmin(raw)), vmin, vmax)
+
+    molded_u8 = np.asarray(detector._premold_fn()(u8[None]))
+    molded_raw = np.asarray(
+        detector._premold_raw_fn()(
+            raw, np.array([vmin], np.float32), np.array([vmax], np.float32)
+        )
+    )
+    diff = np.abs(molded_u8 - molded_raw)
+    assert diff.max() <= 1.0
+    assert (diff == 0).mean() > 0.99
+
+    # full path executes and unmolds
+    res = detector.collect(
+        detector.dispatch_tiles_raw(raw, np.array([[vmin, vmax]], np.float32))
+    )
+    assert len(res) == 1 and "masks" in res[0]
+
+
+def test_nonsquare_input_graph_compiles_and_detects():
+    """The detect graph compiles for a rectangular input (rect-tile fast
+    path) — anchors/FPN/meta all follow input_shape_override."""
+    from caesar_mrcnn_tpu.config import detector_config, inference_config
+    from caesar_mrcnn_tpu.models.mask_rcnn import init_model
+
+    cfg = detector_config(
+        backbone="custom", image_min_dim=96, image_max_dim=128,
+        input_shape_override=(96, 128),
+        num_classes=4, class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=1, num_devices=1, pre_nms_limit=256,
+        post_nms_rois_inference=64, detection_max_instances=16,
+        compute_dtype="float32", score_thr=0.0,
+    )
+    cfg = inference_config(cfg)
+    assert cfg.image_shape == (96, 128, 3)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    det = Detector(cfg, model, variables)
+    tile = np.random.RandomState(5).randint(0, 255, (96, 128), np.uint8)
+    res = det.detect_tiles(tile[None])
+    assert len(res) == 1
+    assert res[0]["masks"].shape[:2] == (96, 128)

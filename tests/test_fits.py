@@ -141,3 +141,50 @@ def test_union_find_graph():
     g.addEdge(3, 4)
     comps = sorted(sorted(c) for c in g.connectedComponents())
     assert comps == [[0, 1, 2], [3, 4], [5]]
+
+
+def test_preprocess_tile_u8_matches_read_fits_chain(tmp_path, ref_data_dir):
+    """The fused single-channel fast path must reproduce the full
+    read_fits preprocessing chain (stretch -> normalize -> gray2rgb u8)
+    bit-for-bit up to 1 quantum on rounding-boundary pixels."""
+    rng = np.random.RandomState(5)
+    data = rng.normal(0.0, 0.05, (96, 96)).astype(np.float32)
+    data[10:20, 10:20] += 5.0
+    data[40, 40] = np.nan
+    data[50, 60] = np.inf
+    path = str(tmp_path / "t.fits")
+    F.write_fits(data, path)
+
+    slow = F.read_fits(path)[0][..., 0]
+    fast = F.read_tile_u8(path)
+    assert fast.dtype == np.uint8 and fast.shape == slow.shape
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+    # windowed reads agree too, on a real reference image
+    gpath = f"{ref_data_dir}/galaxy0002.fits"
+    slow_w = F.read_fits(gpath, xmin=4, xmax=100, ymin=8, ymax=104)[0][..., 0]
+    fast_w = F.read_tile_u8(gpath, xmin=4, xmax=100, ymin=8, ymax=104)
+    diff_w = np.abs(fast_w.astype(np.int32) - slow_w.astype(np.int32))
+    assert diff_w.max() <= 1
+    assert (diff_w == 0).mean() > 0.99
+
+
+def test_read_tile_raw_limits_match_host_stretch(tmp_path):
+    """read_tile_raw's (raw, limits) must reproduce the u8 fast path when
+    pushed through the same fused stretch — the host side of the
+    on-device preprocessing contract."""
+    from caesar_mrcnn_tpu.native import stretch_to_u8
+
+    rng = np.random.RandomState(6)
+    data = rng.normal(0.0, 0.1, (64, 64)).astype(np.float32)
+    data[5:15, 5:15] += 3.0
+    data[0, 0] = np.nan
+    path = str(tmp_path / "r.fits")
+    F.write_fits(data, path)
+
+    raw, (vmin, vmax) = F.read_tile_raw(path)
+    assert np.isfinite(raw).all()  # NaNs filled before the fit
+    u8 = F.read_tile_u8(path)
+    np.testing.assert_array_equal(stretch_to_u8(raw, vmin, vmax), u8)

@@ -205,3 +205,80 @@ def test_sfinder_tiled_overlapping_grid(mosaic_fits, tmp_path, monkeypatch):
     catalog = sf.run_tiled(mosaic_fits)
     # overlap halo: same 2 physical sources, duplicates merged
     assert len(catalog["objs"]) == 2
+
+
+class FakeTileDetector(FakeDetector):
+    """FakeDetector that also implements the batched tile fast-path
+    surface (config/dispatch_tiles/dispatch_tiles_raw/collect) and records
+    which wire each batch used."""
+
+    def __init__(self, cfg):
+        super().__init__(batch_size=cfg.batch_size)
+        self.config = cfg
+        self.wire_calls = {"u8": 0, "raw": 0, "slow": 0}
+
+    def detect(self, images, verbose=0):
+        self.wire_calls["slow"] += 1
+        return super().detect(images, verbose)
+
+    def dispatch_tiles(self, tiles):
+        self.wire_calls["u8"] += 1
+        rgb = [np.stack([t] * 3, -1) for t in tiles]
+        return super().detect(rgb)
+
+    def dispatch_tiles_raw(self, raw, limits):
+        from caesar_mrcnn_tpu.native import stretch_to_u8
+
+        self.wire_calls["raw"] += 1
+        rgb = [
+            np.stack([stretch_to_u8(r, v0, v1)] * 3, -1)
+            for r, (v0, v1) in zip(raw, limits)
+        ]
+        return super().detect(rgb)
+
+    def collect(self, handle):
+        return handle
+
+
+@pytest.mark.parametrize("wire", ["u8", "raw", "slow"])
+def test_sfinder_tiled_wire_modes_agree(mosaic_fits, tmp_path, monkeypatch, wire):
+    """All three tile wire formats must produce the same catalog, and the
+    requested fast path must actually be taken (VERDICT r2 item 1)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, split_img_in_tiles=True, tile_wire=wire,
+               image_min_dim=128, image_max_dim=128)
+    det = FakeTileDetector(cfg)
+    sf = SFinder(det, cfg)
+    catalog = sf.run_tiled(mosaic_fits)
+    assert len(catalog["objs"]) == 2
+    merged = [o for o in catalog["objs"] if o.get("merged")]
+    assert len(merged) == 1 and merged[0]["n_merged"] == 2
+    assert merged[0]["x1"] == 120 and merged[0]["x2"] == 139
+    if wire == "slow":
+        assert det.wire_calls["u8"] == det.wire_calls["raw"] == 0
+    else:
+        assert det.wire_calls[wire] > 0 and det.wire_calls["slow"] == 0
+
+
+def test_sfinder_tiled_rect_tiles_fast_path(tmp_path, monkeypatch):
+    """Non-square tiles take the thin-wire fast path when the detect graph
+    is compiled for (tile_ysize, tile_xsize) (VERDICT r2 item 7)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(1)
+    data = rng.normal(0.0, 0.01, (192, 256)).astype(np.float32)
+    data[40:60, 40:60] += 10.0
+    data[80:110, 120:140] += 10.0  # straddles x=128 tile edge
+    path = str(tmp_path / "rect.fits")
+    F.write_fits(data, path)
+
+    cfg = _cfg(tmp_path, split_img_in_tiles=True,
+               tile_xsize=128, tile_ysize=96,
+               image_min_dim=96, image_max_dim=128,
+               input_shape_override=(96, 128))
+    assert cfg.image_shape == (96, 128, 3)
+    det = FakeTileDetector(cfg)
+    sf = SFinder(det, cfg)
+    catalog = sf.run_tiled(path)
+    assert det.wire_calls["u8"] > 0 and det.wire_calls["slow"] == 0
+    assert len(catalog["objs"]) == 2
+    assert any(o.get("merged") for o in catalog["objs"])

@@ -175,6 +175,66 @@ def _run_two_workers(script, tag, tmp_path, extra_args=()):
         assert f"{tag}_{i}_OK" in out
 
 
+def test_dp_train_two_processes(tmp_path):
+    """Data-parallel TRAINING across 2 real processes (VERDICT r2 item 4):
+    each process exposes 4 virtual devices, the mesh spans all 8, and one
+    sharded train step synchronizes gradients across the process boundary.
+    Loss must match the single-process 8-device run of the same problem
+    bit-for-nearly-bit (same graph, different collective transport)."""
+    import re
+
+    outs = _run_two_workers_capture("dp_train_worker.py", "DP_TRAIN", tmp_path)
+    losses = [
+        float(re.search(r"total_loss=([\d.]+)", out).group(1)) for out in outs
+    ]
+    assert abs(losses[0] - losses[1]) < 1e-6  # both ranks see the same loss
+
+    # single-process 8-virtual-device reference on the identical problem
+    import __graft_entry__ as ge
+    from caesar_mrcnn_tpu.parallel.mesh import (
+        make_mesh as _mk, replicate_tree as _rt, shard_batch as _sb,
+    )
+    from caesar_mrcnn_tpu.train.trainer import make_train_step as _ms
+
+    cfg, model, state, tx, anchors, batch = ge.build_tiny_train_problem(8)
+    mesh = _mk(n_devices=8)
+    step = _ms(model, tx, anchors, mesh=mesh)
+    with mesh:
+        _, ref_losses = step(_rt(state, mesh), _sb(batch, mesh),
+                             jax.random.PRNGKey(1))
+        ref = float(ref_losses["total_loss"])
+    assert abs(losses[0] - ref) < 1e-4, (losses[0], ref)
+
+
+def _run_two_workers_capture(script, tag, tmp_path, extra_args=()):
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), script)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), *extra_args],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=360)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"{tag}_{i}_OK" in out
+    return outs
+
+
 def test_jaxdistcomm_two_processes(tmp_path):
     """JaxDistComm with process_count=2 for real: two CPU subprocesses join
     via jax.distributed (Gloo) and round-trip unequal-size pickled objects

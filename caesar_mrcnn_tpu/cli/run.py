@@ -138,6 +138,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--tile_ysize", type=int, default=512)
     parser.add_argument("--tile_xstep", type=float, default=1.0)
     parser.add_argument("--tile_ystep", type=float, default=1.0)
+    parser.add_argument(
+        "--tile_wire", choices=("u8", "raw", "slow"), default="u8",
+        help="host->device wire for full-size tiles: fused-uint8 (default), "
+             "raw f32 with on-device preprocessing, or the legacy host chain",
+    )
 
     return parser.parse_args(argv)
 
@@ -229,6 +234,7 @@ def build_config(args) -> Config:
         tile_ysize=args.tile_ysize,
         tile_xstep=args.tile_xstep,
         tile_ystep=args.tile_ystep,
+        tile_wire=args.tile_wire,
     )
     return cfg
 

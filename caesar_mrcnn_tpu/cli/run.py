@@ -437,12 +437,25 @@ def run_detect(args, cfg: Config) -> int:
     # Rectangular tiles compile the detect graph for the exact
     # (tile_ysize, tile_xsize) so they ride the thin-wire fast path
     # instead of square-molding through host resize
-    # (reference tile knobs: scripts/run.py:235-239).
+    # (reference tile knobs: scripts/run.py:235-239). Only when the fast
+    # wire is eligible (same gate as SFinder.run_tiled) — with non-default
+    # preprocessing knobs tiles go through the generic square-mold detect()
+    # path, which needs the square graph.
+    fast_wire = (
+        cfg.zscale_stretch
+        and not cfg.bias_contrast_stretch
+        and cfg.img_to_rgb
+        and cfg.img_to_uint8
+        and len(set(cfg.zscale_contrasts)) == 1
+        and cfg.tile_wire in ("u8", "raw")
+    )
     detector = _build_detector(
         args, cfg.replace(
             image_min_dim=min(cfg.tile_xsize, cfg.tile_ysize),
             image_max_dim=max(cfg.tile_xsize, cfg.tile_ysize),
-            input_shape_override=(cfg.tile_ysize, cfg.tile_xsize),
+            input_shape_override=(
+                (cfg.tile_ysize, cfg.tile_xsize) if fast_wire else None
+            ),
         )
         if cfg.split_img_in_tiles else cfg
     )

@@ -47,7 +47,11 @@ def rpn_class_loss(rpn_match: jnp.ndarray, rpn_class_logits: jnp.ndarray) -> jnp
     anchor_class = (rpn_match == 1).astype(jnp.int32)
     use = (rpn_match != 0).astype(jnp.float32)
     logp = jax.nn.log_softmax(rpn_class_logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, anchor_class[..., None], axis=-1)[..., 0]
+    # clamp: TPU's approximated exp can put logsumexp a few ulp BELOW the
+    # max logit, making the "CE" of an ultra-confident correct prediction
+    # ~-1e-3; CE is non-negative by definition (observed in f32 on real
+    # runs, round 2/3)
+    ce = jnp.maximum(-jnp.take_along_axis(logp, anchor_class[..., None], axis=-1)[..., 0], 0.0)
     return _safe_mean(ce, use)
 
 
@@ -87,7 +91,9 @@ def mrcnn_class_loss(
     """
     t = target_class_ids.astype(jnp.int32)
     logp = jax.nn.log_softmax(pred_class_logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    # non-negative by definition; clamp the few-ulp logsumexp undershoot of
+    # TPU's approximated exp (see rpn_class_loss)
+    ce = jnp.maximum(-jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0], 0.0)
     if class_weights is not None:
         ce = ce * class_weights[t]
     pred_class = jnp.argmax(pred_class_logits, axis=-1)

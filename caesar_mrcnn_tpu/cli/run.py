@@ -67,6 +67,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--weights", default=None)
     parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
     parser.add_argument("--nthreads", type=int, default=1)
+    # Cross-epoch cache of decoded+resized training samples (GB, 0 disables):
+    # skips per-epoch FITS decode + zscale + resize, the dominant host cost
+    # on few-CPU hosts. Auto-disabled under the random-crop resize mode.
+    parser.add_argument("--data_cache_gb", type=float, default=4.0)
 
     # TRAIN OPTIONS (reference: scripts/run.py:1306-1352)
     parser.add_argument("--ngpu", type=int, default=1,
@@ -340,9 +344,10 @@ def run_train(args, cfg: Config) -> int:
         start_epoch = CKPT.epoch_from_path(args.weights)
 
     state, tx = create_train_state(cfg, variables, layers=args.trainable_layers)
+    cache_bytes = int(args.data_cache_gb * (1 << 30))
     pipeline = TrainingPipeline(
         ds_train, cfg, augmentation=args.use_augmentation, seed=0,
-        num_workers=args.nthreads,
+        num_workers=args.nthreads, cache_bytes=cache_bytes,
     )
     class_weights = None
     if args.weight_classes and ds_train.class_weights:
@@ -363,6 +368,7 @@ def run_train(args, cfg: Config) -> int:
     if val_steps:
         val_pipeline = TrainingPipeline(
             ds_val, cfg, augmentation=False, seed=1, num_workers=args.nthreads,
+            cache_bytes=cache_bytes,
         )
         val_step = make_eval_step(
             model, pipeline.anchors_normalized(), mesh=mesh,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -34,19 +35,18 @@ from .augment import augment_image_and_mask
 from .dataset import Dataset
 
 
-def load_image_gt(
-    dataset: Dataset,
-    config: Config,
-    image_id: int,
-    augmentation: bool = False,
-    use_mini_mask: bool = False,
-    rng: Optional[np.random.RandomState] = None,
-):
-    """Load one image + GT (reference: mrcnn/model.py:1277-1377).
+def load_resized(
+    dataset: Dataset, config: Config, image_id: int
+) -> Tuple[np.ndarray, tuple, tuple, float, np.ndarray, np.ndarray]:
+    """Deterministic load + resize stage of :func:`load_image_gt`.
 
-    Returns (image, image_meta, class_ids, bbox, mask) — all unpadded.
+    Split out so :class:`TrainingPipeline` can cache its output across
+    epochs (FITS decode + zscale + resize dominate per-sample host cost).
+    NOT deterministic under ``image_resize_mode == 'crop'`` (random crop) —
+    callers must not cache in that mode.
+
+    Returns (image, original_shape, window, scale, mask, class_ids).
     """
-    rng = rng or np.random.RandomState()
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
     original_shape = image.shape
@@ -58,6 +58,28 @@ def load_image_gt(
         mode=config.image_resize_mode,
     )
     mask = I.resize_mask(mask, scale, padding, crop)
+    return image, original_shape, window, scale, mask, class_ids
+
+
+def load_image_gt(
+    dataset: Dataset,
+    config: Config,
+    image_id: int,
+    augmentation: bool = False,
+    use_mini_mask: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    _loaded=None,
+):
+    """Load one image + GT (reference: mrcnn/model.py:1277-1377).
+
+    Returns (image, image_meta, class_ids, bbox, mask) — all unpadded.
+    ``_loaded`` optionally supplies a precomputed :func:`load_resized`
+    result (the pipeline's cross-epoch cache).
+    """
+    rng = rng or np.random.RandomState()
+    image, original_shape, window, scale, mask, class_ids = (
+        _loaded if _loaded is not None else load_resized(dataset, config, image_id)
+    )
 
     if augmentation:
         image, mask = augment_image_and_mask(image, mask, rng)
@@ -93,6 +115,7 @@ class TrainingPipeline:
         seed: Optional[int] = None,
         num_workers: int = 0,
         max_queue: int = 16,
+        cache_bytes: int = 0,
     ):
         self.dataset = dataset
         self.config = config
@@ -101,6 +124,18 @@ class TrainingPipeline:
         self.rng = np.random.RandomState(seed)
         self.num_workers = num_workers
         self.max_queue = max_queue
+        # Cross-epoch cache of the deterministic load+resize stage (FITS
+        # decode + zscale + resize dominate host cost on 1-CPU dev hosts;
+        # every epoch re-reads ~12 FITS files per image otherwise). Stores
+        # one uint8 plane for replicated-channel images and bit-packed bool
+        # masks (~150 KB/image at 256^2); LRU-evicted to ``cache_bytes``.
+        # Disabled under the random-crop resize mode (non-deterministic).
+        self._cache_budget = (
+            int(cache_bytes) if config.image_resize_mode != "crop" else 0
+        )
+        self._cache: "OrderedDict[int, Tuple[tuple, int]]" = OrderedDict()
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
         shapes = config.backbone_shapes
         self.anchors = generate_pyramid_anchors(
             config.rpn_anchor_scales,
@@ -120,6 +155,60 @@ class TrainingPipeline:
         h, w = self.config.image_shape[:2]
         return B.norm_boxes(self.anchors, (h, w))
 
+    # -------------------------------------------------------------- cache
+    @staticmethod
+    def _cache_pack(loaded) -> Optional[Tuple[tuple, int]]:
+        """Compact a load_resized result; None if not compactly cacheable."""
+        image, original_shape, window, scale, mask, class_ids = loaded
+        if mask.dtype != bool:
+            return None  # only bit-packable binary masks are cached
+        mono = (
+            image.ndim == 3
+            and image.shape[2] > 1
+            and np.array_equal(image[..., 0], image[..., 1])
+            and np.array_equal(image[..., 0], image[..., -1])
+        )
+        img_store = np.ascontiguousarray(image[..., :1]) if mono else image
+        mbits = np.packbits(mask, axis=None)
+        entry = (
+            img_store, image.shape, original_shape, window, scale,
+            mbits, mask.shape, class_ids,
+        )
+        nbytes = img_store.nbytes + mbits.nbytes + class_ids.nbytes + 256
+        return entry, nbytes
+
+    @staticmethod
+    def _cache_unpack(entry: tuple):
+        img_store, img_shape, original_shape, window, scale, mbits, mshape, cls = entry
+        image = img_store
+        if img_store.shape != img_shape:  # replicated-channel image
+            image = np.repeat(img_store, img_shape[2], axis=2)
+        count = int(np.prod(mshape))
+        mask = np.unpackbits(mbits, count=count).reshape(mshape).view(bool)
+        return image, original_shape, window, scale, mask, cls
+
+    def _load_resized(self, image_id: int):
+        """load_resized through the cross-epoch LRU cache (thread-safe)."""
+        if self._cache_budget <= 0:
+            return load_resized(self.dataset, self.config, image_id)
+        with self._cache_lock:
+            hit = self._cache.get(image_id)
+            if hit is not None:
+                self._cache.move_to_end(image_id)
+        if hit is not None:
+            return self._cache_unpack(hit[0])
+        loaded = load_resized(self.dataset, self.config, image_id)
+        packed = self._cache_pack(loaded)
+        if packed is not None:
+            with self._cache_lock:
+                if image_id not in self._cache:
+                    self._cache[image_id] = packed
+                    self._cache_used += packed[1]
+                    while self._cache_used > self._cache_budget and len(self._cache) > 1:
+                        _, (_, old_bytes) = self._cache.popitem(last=False)
+                        self._cache_used -= old_bytes
+        return loaded
+
     # ------------------------------------------------------------- sample
     def make_sample(
         self, image_id: int, rng: Optional[np.random.RandomState] = None
@@ -133,6 +222,7 @@ class TrainingPipeline:
             augmentation=self.augmentation,
             use_mini_mask=cfg.use_mini_mask,
             rng=rng,
+            _loaded=self._load_resized(image_id),
         )
         rpn_match, rpn_deltas = build_rpn_targets(
             self.anchors, class_ids, bbox, cfg, rng

@@ -25,6 +25,7 @@ import numpy as np
 from ..config import Config
 from ..ops.roi_align import crop_and_resize
 from ..utils import boxes as B
+from .. import native
 
 # ------------------------------------------------------------------- host RPN
 
@@ -68,7 +69,7 @@ def build_rpn_targets(
         non_crowd_ix = np.where(gt_class_ids > 0)[0]
         crowd_boxes = gt_boxes[crowd_ix]
         gt_boxes = gt_boxes[non_crowd_ix]
-        crowd_overlaps = B.compute_overlaps(anchors, crowd_boxes)
+        crowd_overlaps = native.iou_matrix(anchors, crowd_boxes)
         no_crowd = crowd_overlaps.max(axis=1) < 0.001 if crowd_boxes.size else np.ones(a, bool)
     else:
         no_crowd = np.ones([a], dtype=bool)
@@ -77,7 +78,12 @@ def build_rpn_targets(
         rpn_match[no_crowd] = -1
         return rpn_match, rpn_deltas
 
-    overlaps = B.compute_overlaps(anchors, gt_boxes)
+    # Native single-pass f32 IoU kernel: 0.79 ms vs 9.2 ms for the numpy-f64
+    # oracle at the [16368 anchors x ~20 GT] shape (max diff 9e-8, safely
+    # inside the 0.3/0.7 thresholds) — the anchor-IoU matrix was the top
+    # host cost in per-sample profiling (falls back to the oracle when the
+    # C++ lib is unavailable).
+    overlaps = native.iou_matrix(anchors, gt_boxes)
     anchor_iou_argmax = np.argmax(overlaps, axis=1)
     anchor_iou_max = overlaps[np.arange(a), anchor_iou_argmax]
     # negatives, then best-anchor-per-GT, then IoU>=0.7 positives

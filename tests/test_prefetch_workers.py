@@ -42,3 +42,43 @@ def test_multiworker_prefetch(tmp_path):
         assert b["images"].shape == (2, 64, 64, 3)
         assert (b["gt_class_ids"] > 0).sum() == 2  # one GT per image
         assert np.isfinite(b["rpn_deltas"]).all()
+
+
+def test_sample_cache_identity_and_eviction(tmp_path):
+    """Cross-epoch load cache: hit path bit-identical, LRU stays in budget."""
+    ds = _dataset(tmp_path, n=6)
+    cfg = detector_config(
+        image_min_dim=64, image_max_dim=64, num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=2, rpn_anchor_scales=(8, 16, 32, 64, 128),
+        max_gt_instances=4, use_mini_mask=True, mini_mask_shape=(28, 28),
+    )
+    plain = TrainingPipeline(ds, cfg, seed=0, augmentation=True)
+    cached = TrainingPipeline(ds, cfg, seed=0, augmentation=True,
+                              cache_bytes=1 << 30)
+    for i in range(6):
+        cached.make_sample(i)  # populate (miss path)
+    assert len(cached._cache) == 6 and cached._cache_used > 0
+    for i in range(6):
+        a = plain.make_sample(i, rng=np.random.RandomState(i))
+        b = cached.make_sample(i, rng=np.random.RandomState(i))  # hit path
+        for k in a:
+            assert a[k].dtype == b[k].dtype, k
+            assert np.array_equal(a[k], b[k]), k
+
+    # tiny budget -> evicts down to a single resident entry, still correct
+    tiny = TrainingPipeline(ds, cfg, seed=0, cache_bytes=1)
+    for i in range(6):
+        tiny.make_sample(i)
+    assert len(tiny._cache) == 1
+    assert tiny._cache_used <= next(iter(tiny._cache.values()))[1]
+
+    # random-crop resize mode must disable caching entirely
+    crop_cfg = detector_config(
+        image_min_dim=64, image_max_dim=64, num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=2, rpn_anchor_scales=(8, 16, 32, 64, 128),
+        max_gt_instances=4, image_resize_mode="crop",
+    )
+    nocache = TrainingPipeline(ds, crop_cfg, seed=0, cache_bytes=1 << 30)
+    assert nocache._cache_budget == 0

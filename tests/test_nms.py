@@ -84,3 +84,34 @@ def test_nms_padding_shape():
     assert np.asarray(valid).sum() == 1
     np.testing.assert_allclose(np.asarray(out_boxes)[0], boxes[0])
     np.testing.assert_allclose(np.asarray(out_boxes)[1:], 0.0)
+
+
+@pytest.mark.parametrize("n,thr", [(10, 0.5), (300, 0.3), (777, 0.7), (1500, 0.5)])
+def test_unrolled_nms_matches_oracle(n, thr):
+    from caesar_mrcnn_tpu.ops.nms import nms_padded_seq_unrolled
+
+    rng = np.random.RandomState(n + 1)
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    expected = non_max_suppression(boxes, scores, thr)
+    max_out = min(n, 200)
+    idx, valid = nms_padded_seq_unrolled(boxes, scores, max_out, thr)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    np.testing.assert_array_equal(idx[valid], expected[:max_out])
+
+
+def test_unrolled_nms_heavy_overlap_and_invalid():
+    from caesar_mrcnn_tpu.ops.nms import nms_padded_seq_unrolled
+
+    # heavy-overlap chains + -inf invalid entries in one go
+    rng = np.random.RandomState(7)
+    base = _random_boxes(rng, 40)
+    boxes = np.concatenate([base + rng.uniform(-0.005, 0.005, (40, 4)) for _ in range(8)])
+    scores = rng.uniform(0.01, 1.0, 320).astype(np.float32)
+    scores[::13] = -np.inf
+    keep = scores > -np.inf
+    expected_keep = non_max_suppression(boxes[keep], scores[keep], 0.5)
+    orig = np.where(keep)[0]
+    idx, valid = nms_padded_seq_unrolled(boxes, scores, 100, 0.5)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    np.testing.assert_array_equal(idx[valid], orig[expected_keep][:100])

@@ -89,7 +89,14 @@ def build_rpn_targets(
     # negatives, then best-anchor-per-GT, then IoU>=0.7 positives
     # (reference: mrcnn/model.py:1583-1595)
     rpn_match[(anchor_iou_max < 0.3) & no_crowd] = -1
-    gt_iou_argmax = np.argwhere(overlaps == np.max(overlaps, axis=0))[:, 0]
+    # Best-anchor-per-GT, ties included — but ONLY for GTs that overlap at
+    # least one anchor. The reference's unguarded tie-match
+    # (mrcnn/model.py:1590) marks EVERY anchor positive when a GT has zero
+    # IoU with all anchors (the max-0 column ties everywhere), blasting the
+    # whole anchor budget with deltas toward an unreachable box — observed
+    # as a single-step rpn_bbox_loss spike of ~144 in a real 512^2 run.
+    gt_max = np.max(overlaps, axis=0)
+    gt_iou_argmax = np.argwhere((overlaps == gt_max) & (gt_max > 0))[:, 0]
     rpn_match[gt_iou_argmax] = 1
     rpn_match[anchor_iou_max >= 0.7] = 1
 

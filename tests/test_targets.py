@@ -133,3 +133,33 @@ def test_detection_targets_no_gt():
     rois, class_ids, deltas, masks = (np.asarray(o) for o in out)
     assert (class_ids == 0).all()
     assert np.isfinite(deltas).all()
+
+
+def test_rpn_targets_zero_overlap_gt_no_positive_blast():
+    """A GT with zero IoU against every anchor must not mark anchors
+    positive (the reference's unguarded tie-match marks ALL of them,
+    reference mrcnn/model.py:1590 — observed as a 144-point rpn_bbox_loss
+    spike in a real run)."""
+    from caesar_mrcnn_tpu.models.targets import build_rpn_targets
+    from caesar_mrcnn_tpu.config import detector_config
+    from caesar_mrcnn_tpu.utils.anchors import generate_pyramid_anchors
+
+    cfg = detector_config(
+        image_min_dim=64, image_max_dim=64, num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+    )
+    anchors = generate_pyramid_anchors(
+        cfg.rpn_anchor_scales, cfg.rpn_anchor_ratios, cfg.backbone_shapes,
+        cfg.backbone_strides, cfg.rpn_anchor_stride,
+    )
+    # one normal GT + one degenerate GT far outside the anchor grid
+    gt_boxes = np.array([[10, 10, 30, 30], [5000, 5000, 5000, 5000]], np.float32)
+    gt_ids = np.array([2, 2], np.int32)
+    rng = np.random.RandomState(0)
+    match, deltas = build_rpn_targets(anchors, gt_ids, gt_boxes, cfg, rng)
+    pos = np.where(match == 1)[0]
+    assert 1 <= pos.size <= cfg.rpn_train_anchors_per_image // 2
+    # all positive deltas point at the REAL box: finite and moderate
+    assert np.isfinite(deltas[pos]).all()
+    assert np.abs(deltas[pos]).max() < 10.0

@@ -414,8 +414,13 @@ def _build_detector(args, cfg: Config):
     # The reference's InferenceConfig hardcodes batch 1 (scripts/run.py:
     # 1641-1657); here --nimg_per_gpu carries through so ModelTester's
     # batched evaluation loop and SFinder's batched tile inference
-    # actually run device-batched.
-    icfg = inference_config(cfg, images_per_device=max(1, args.nimg_per_gpu))
+    # actually run device-batched, and --ngpu shards the batch over a
+    # local device mesh (reference ParallelModel: mrcnn/model.py:2161-2165).
+    icfg = inference_config(
+        cfg,
+        images_per_device=max(1, args.nimg_per_gpu),
+        num_devices=max(1, args.ngpu),
+    )
     exclude = ["conv1"] if args.exclude_first_layer_weights else None
     return build_detector(icfg, weights_path=args.weights, exclude=exclude)
 
@@ -455,6 +460,20 @@ def run_detect(args, cfg: Config) -> int:
         and len(set(cfg.zscale_contrasts)) == 1
         and cfg.tile_wire in ("u8", "raw")
     )
+    if cfg.split_img_in_tiles and fast_wire:
+        # The FPN top-down path 2x-upsamples P5..P2; every stride halving
+        # down to stride 64 must be exact or trace-time shapes mismatch
+        # (the reference asserts the same divisibility,
+        # mrcnn/config.py IMAGE_MIN_DIM check). The square-mold fallback
+        # pads to a valid size; the rect fast path uses the raw tile shape.
+        for name, v in (("tile_xsize", cfg.tile_xsize),
+                        ("tile_ysize", cfg.tile_ysize)):
+            if v % 64 != 0:
+                raise ValueError(
+                    f"{name}={v} must be divisible by 64 for tiled detect "
+                    "(FPN needs 6 exact stride halvings); pick e.g. "
+                    f"{(v // 64 + 1) * 64}"
+                )
     detector = _build_detector(
         args, cfg.replace(
             image_min_dim=min(cfg.tile_xsize, cfg.tile_ysize),

@@ -170,6 +170,11 @@ class TrainingPipeline:
         )
         img_store = np.ascontiguousarray(image[..., :1]) if mono else image
         mbits = np.packbits(mask, axis=None)
+        # Cache hits hand these arrays out by reference (only the mono
+        # path re-materializes); freeze them so an accidental in-place
+        # consumer fails loudly instead of corrupting the cross-epoch cache.
+        for arr in (img_store, mbits, class_ids):
+            arr.flags.writeable = False
         entry = (
             img_store, image.shape, original_shape, window, scale,
             mbits, mask.shape, class_ids,

@@ -12,6 +12,7 @@ reused — variable batch tails are padded up to the compiled batch size.
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -28,17 +29,57 @@ from ..utils.anchors import get_anchors
 
 
 class Detector:
-    """Stateful wrapper: model + variables + compiled detect step."""
+    """Stateful wrapper: model + variables + compiled detect step.
 
-    def __init__(self, config: Config, model: MaskRCNN, variables: Dict):
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the ``data`` axis) the
+    detect graphs are compiled with the image/tile batch sharded across all
+    mesh devices and parameters replicated — one process saturates every
+    local chip (the inference half of the reference's ParallelModel,
+    mrcnn/parallel_model.py:30-104, wired at mrcnn/model.py:2161-2165).
+    ``config.batch_size`` is the GLOBAL batch
+    (``images_per_device * num_devices``, reference: mrcnn/config.py:227)
+    and must be divisible by the mesh size.
+    """
+
+    def __init__(
+        self, config: Config, model: MaskRCNN, variables: Dict, mesh=None
+    ):
         self.config = config
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            n = int(np.prod(mesh.devices.shape))
+            assert config.batch_size % n == 0, (
+                f"global batch {config.batch_size} not divisible by "
+                f"mesh size {n}"
+            )
+            self._rep = replicated(mesh)
+            self._data = batch_sharding(mesh)
+        else:
+            self._rep = self._data = None
         self.variables = variables  # property: device-resident
-        self._fn = make_inference_fn(model)
+        if mesh is None:
+            self._fn = make_inference_fn(model)
+        else:
+            from ..models.mask_rcnn import forward_inference
+
+            self._fn = jax.jit(
+                lambda v, im, me, an: forward_inference(model, v, im, me, an),
+                in_shardings=(self._rep, self._data, self._data, self._rep),
+                out_shardings=self._data,
+            )
         self._premold = None  # lazily-jitted device-side mold for tiles
         self._premold_raw = None  # device-side full preprocessing chain
         self._tile_fns = {}  # wire -> fused jitted (premold + forward + pack)
         self._tile_consts = {}  # (h, w, bs) -> device-resident (metas, anchors)
+
+    def _put_batch(self, x):
+        """Host batch array -> device, batch-sharded when on a mesh."""
+        if self._data is not None:
+            return jax.device_put(np.asarray(x), self._data)
+        return jnp.asarray(x)
 
     @property
     def variables(self) -> Dict:
@@ -49,8 +90,12 @@ class Detector:
         # Weights restored from checkpoints arrive as host numpy trees;
         # if they stay host-side, EVERY detect call silently re-uploads
         # the full parameter set (~250 MB for ResNet-101 — measured 5 s
-        # per batch through the TPU tunnel). Pin them to device once.
-        self._variables = jax.device_put(value)
+        # per batch through the TPU tunnel). Pin them to device once
+        # (replicated over the mesh when sharded).
+        if self._rep is not None:
+            self._variables = jax.device_put(value, self._rep)
+        else:
+            self._variables = jax.device_put(value)
 
     # ----------------------------------------------------------- molding
     def mold_inputs(self, images: Sequence[np.ndarray]):
@@ -220,16 +265,34 @@ class Detector:
 
             if wire == "u8":
 
-                @jax.jit
-                def fn(variables, raw, metas, anchors):
+                def fn_u8(variables, raw, metas, anchors):
                     return run(variables, premold_u8(raw), metas, anchors)
+
+                if self.mesh is None:
+                    fn = jax.jit(fn_u8)
+                else:
+                    fn = jax.jit(
+                        fn_u8,
+                        in_shardings=(self._rep, self._data, self._data,
+                                      self._rep),
+                        out_shardings=self._data,
+                    )
 
             else:
 
-                @jax.jit
-                def fn(variables, raw, vmin, vmax, metas, anchors):
+                def fn_raw(variables, raw, vmin, vmax, metas, anchors):
                     return run(
                         variables, premold_raw(raw, vmin, vmax), metas, anchors
+                    )
+
+                if self.mesh is None:
+                    fn = jax.jit(fn_raw)
+                else:
+                    fn = jax.jit(
+                        fn_raw,
+                        in_shardings=(self._rep, self._data, self._data,
+                                      self._data, self._data, self._rep),
+                        out_shardings=self._data,
                     )
 
             self._tile_fns[wire] = fn
@@ -239,6 +302,12 @@ class Detector:
         """Packed tile-step buffer (or InferenceOutput) -> host arrays."""
         if hasattr(out, "detections"):
             return np.asarray(out.detections), np.asarray(out.masks)
+        # The device bitcast emits little-endian bytes; reinterpreting on a
+        # big-endian host would scramble boxes/scores silently.
+        assert sys.byteorder == "little", (
+            "packed tile wire requires a little-endian host; "
+            "set config.mask_wire_dtype='float32' to disable packing"
+        )
         buf = np.asarray(out)  # [B, D, 24 + mh*mw] u8 — single fetch
         b, d, _ = buf.shape
         detections = (
@@ -274,8 +343,8 @@ class Detector:
         metas, anchors = self._tile_constants(h, w, _c, bs)
         out = self._tile_fn("raw")(
             self.variables,
-            jnp.asarray(raw, dtype=jnp.float32),
-            jnp.asarray(limits[:, 0]), jnp.asarray(limits[:, 1]),
+            self._put_batch(raw.astype(np.float32)),
+            self._put_batch(limits[:, 0]), self._put_batch(limits[:, 1]),
             metas, anchors,
         )
         return out, n_in, (h, w, _c)
@@ -305,7 +374,7 @@ class Detector:
             )
         metas, anchors = self._tile_constants(h, w, _c, bs)
         out = self._tile_fn("u8")(
-            self.variables, jnp.asarray(tiles), metas, anchors
+            self.variables, self._put_batch(tiles), metas, anchors
         )
         return out, n_in, (h, w, _c)
 
@@ -319,8 +388,14 @@ class Detector:
             meta = compose_image_meta(
                 0, (h, w, c), (h, w, c), (0, 0, h, w), 1.0, np.zeros(cfg.num_classes)
             )
-            metas = jax.device_put(np.tile(meta.astype(np.float32), (bs, 1)))
-            anchors = jax.device_put(get_anchors(cfg, (h, w, c)))
+            metas_np = np.tile(meta.astype(np.float32), (bs, 1))
+            anchors_np = get_anchors(cfg, (h, w, c))
+            if self.mesh is not None:
+                metas = jax.device_put(metas_np, self._data)
+                anchors = jax.device_put(anchors_np, self._rep)
+            else:
+                metas = jax.device_put(metas_np)
+                anchors = jax.device_put(anchors_np)
             self._tile_consts[key] = (metas, anchors)
         return self._tile_consts[key]
 
@@ -359,8 +434,15 @@ class Detector:
             metas = np.concatenate([metas, np.repeat(metas[-1:], reps, axis=0)])
 
         image_shape = molded[0].shape
-        anchors = jnp.asarray(get_anchors(cfg, image_shape))
-        out = self._fn(self.variables, jnp.asarray(molded), jnp.asarray(metas), anchors)
+        anchors_np = get_anchors(cfg, image_shape)
+        anchors = (
+            jax.device_put(anchors_np, self._rep)
+            if self.mesh is not None
+            else jnp.asarray(anchors_np)
+        )
+        out = self._fn(
+            self.variables, self._put_batch(molded), self._put_batch(metas), anchors
+        )
         detections = np.asarray(out.detections)
         masks = np.asarray(out.masks)
 
@@ -387,14 +469,31 @@ def build_detector(
     weights_path: Optional[str] = None,
     exclude: Optional[Sequence[str]] = None,
     seed: int = 0,
+    mesh=None,
 ) -> Detector:
     """Construct model + variables (optionally restoring weights by name
-    with exclusions, reference: mrcnn/model.py:2197-2239)."""
+    with exclusions, reference: mrcnn/model.py:2197-2239).
+
+    When ``config.num_devices > 1`` and no explicit ``mesh`` is given, a
+    1-D data mesh over the local devices is created so detect shards the
+    batch across all of them (reference ParallelModel wiring:
+    mrcnn/model.py:2161-2165)."""
     from ..models.mask_rcnn import init_model
     from ..train.checkpoints import load_checkpoint, partial_restore
 
+    if mesh is None and config.num_devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        avail = len(jax.devices())
+        if avail >= config.num_devices:
+            mesh = make_mesh(n_devices=config.num_devices)
+        else:
+            logger.warning(
+                "config.num_devices=%d but only %d local devices — "
+                "running unsharded", config.num_devices, avail,
+            )
     model, variables = init_model(config, jax.random.PRNGKey(seed))
     if weights_path:
         stored = load_checkpoint(weights_path)
         variables, _, _ = partial_restore(variables, stored, exclude=exclude)
-    return Detector(config, model, variables)
+    return Detector(config, model, variables, mesh=mesh)

@@ -141,6 +141,12 @@ def read_keras_h5(path: str) -> Dict[str, Dict[str, np.ndarray]]:
                 arr = np.asarray(lg[wn])
                 clean = wn[:-2] if wn.endswith(":0") else wn
                 inner, suffix = clean.rsplit("/", 1)
+                # Some Keras writers scope nested sub-model weights as
+                # '<group>/<inner_layer>/<weight>:0' (e.g. 'rpn_model/
+                # rpn_conv_shared/kernel:0'); strip the enclosing group
+                # name so the inner layer name maps cleanly.
+                if inner.startswith(lname + "/"):
+                    inner = inner[len(lname) + 1:]
                 out.setdefault(inner, {})[suffix] = arr
     return out
 
@@ -242,4 +248,17 @@ def restore_from_keras_h5(
 
     layers = read_keras_h5(path)
     stored, _unmapped = keras_to_variables(layers)
-    return partial_restore(variables, stored, exclude=exclude)
+    merged, loaded, skipped = partial_restore(variables, stored, exclude=exclude)
+    # A published .h5 must populate the model core: if every rpn_*/mrcnn_*
+    # layer ended up unloaded the name mapping silently failed (e.g. an
+    # unexpected scope prefix) — fail loudly instead of returning a
+    # randomly-initialized head.
+    core_stored = [n for n in layers if "rpn_" in n or "mrcnn_" in n]
+    core_loaded = [n for n in loaded if ("rpn" in n or "head" in n)]
+    if core_stored and not core_loaded:
+        raise ValueError(
+            f"keras import loaded none of the {len(core_stored)} rpn_*/mrcnn_* "
+            f"layers present in {path} — layer-name mapping failed "
+            f"(first stored: {sorted(core_stored)[:5]})"
+        )
+    return merged, loaded, skipped

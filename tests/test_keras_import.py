@@ -94,6 +94,125 @@ def test_h5_roundtrip_and_restore(small_model, tmp_path):
     )
 
 
+def matterport_layer_inventory(arch: str) -> set:
+    """The COMPLETE weight-layer inventory of the reference graph
+    (reference: mrcnn/model.py:175-210 resnet_graph block letters,
+    model.py:2003-2026 FPN, model.py:960-979 RPN sub-model,
+    model.py:986-1091 heads) — built here independently from the
+    Matterport naming rule so a missing mapping in keras_import cannot
+    hide (VERDICT r3 item 8)."""
+    stage4 = "abcdef" if arch == "resnet50" else "abcdefghijklmnopqrstuvw"
+    blocks = {2: "abc", 3: "abcd", 4: stage4, 5: "abc"}
+    names = {"conv1", "bn_conv1"}
+    for stage, letters in blocks.items():
+        for b in letters:
+            branches = ["2a", "2b", "2c"] + (["1"] if b == "a" else [])
+            for br in branches:
+                names.add(f"res{stage}{b}_branch{br}")
+                names.add(f"bn{stage}{b}_branch{br}")
+    names |= {"fpn_c5p5", "fpn_c4p4", "fpn_c3p3", "fpn_c2p2",
+              "fpn_p2", "fpn_p3", "fpn_p4", "fpn_p5"}
+    names |= {"rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred"}
+    names |= {"mrcnn_class_conv1", "mrcnn_class_bn1", "mrcnn_class_conv2",
+              "mrcnn_class_bn2", "mrcnn_class_logits", "mrcnn_bbox_fc"}
+    names |= {f"mrcnn_mask_conv{i}" for i in range(1, 5)}
+    names |= {f"mrcnn_mask_bn{i}" for i in range(1, 5)}
+    names |= {"mrcnn_mask_deconv", "mrcnn_mask"}
+    return names
+
+
+@pytest.mark.parametrize("arch", ["resnet50", "resnet101"])
+@pytest.mark.parametrize("nclasses", [4, 6])
+def test_exhaustive_layer_inventory_roundtrip(arch, nclasses, tmp_path):
+    """Every reference layer name for both backbones and both caesar class
+    counts (3-class and 5-class sets, scripts/run.py:1287) maps, survives
+    import -> export -> import, and the restored tree is bit-identical."""
+    cnames = tuple(f"c{i}" for i in range(nclasses))
+    cfg = detector_config(
+        num_classes=nclasses, class_names=cnames, backbone=arch,
+        image_min_dim=128, image_max_dim=128,
+        images_per_device=1, num_devices=1,
+    )
+    _, variables = init_model(cfg, jax.random.PRNGKey(3))
+
+    layers = K.variables_to_keras(variables)
+    expected = matterport_layer_inventory(arch)
+    assert set(layers) == expected, (
+        f"missing={sorted(expected - set(layers))} "
+        f"extra={sorted(set(layers) - expected)}"
+    )
+
+    tree, unmapped = K.keras_to_variables(layers)
+    assert unmapped == []
+    # full roundtrip through the h5 file + by-name restore: tree-identical
+    path = str(tmp_path / f"{arch}_{nclasses}.h5")
+    K.write_keras_h5(layers, path)
+    _, fresh = init_model(cfg, jax.random.PRNGKey(11))
+    merged, loaded, skipped = K.restore_from_keras_h5(fresh, path)
+    assert skipped == []
+    orig_flat = jax.tree_util.tree_leaves_with_path(variables)
+    got_flat = jax.tree_util.tree_leaves_with_path(merged)
+    assert len(orig_flat) == len(got_flat)
+    for (pa, a), (pb, b) in zip(orig_flat, got_flat):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # export of the restored tree reproduces the stored file exactly
+    layers2 = K.variables_to_keras(merged)
+    assert set(layers2) == expected
+    for lname in layers:
+        for wname in layers[lname]:
+            np.testing.assert_array_equal(
+                layers2[lname][wname], layers[lname][wname]
+            )
+
+
+def test_rpn_model_scope_prefixed_weight_names(small_model, tmp_path):
+    """Keras writers that scope nested sub-model weights as
+    'rpn_model/<inner>/<w>:0' must still map (keras_import strips the
+    enclosing group name); and a file whose core layers all fail to map
+    must raise instead of silently returning random heads."""
+    _, _, variables = small_model
+    layers = K.variables_to_keras(variables)
+    path = str(tmp_path / "scoped.h5")
+    rpn_names = ["rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred"]
+    with h5py.File(path, "w") as f:
+        outer = [n for n in layers if n not in rpn_names] + ["rpn_model"]
+        f.attrs["layer_names"] = np.array([n.encode() for n in outer], dtype="S64")
+        for lname in layers:
+            if lname in rpn_names:
+                continue
+            lg = f.create_group(lname)
+            wn = [f"{lname}/{s}:0" for s in layers[lname]]
+            lg.attrs["weight_names"] = np.array([n.encode() for n in wn], dtype="S96")
+            for s, arr in layers[lname].items():
+                lg.create_dataset(f"{lname}/{s}:0", data=np.asarray(arr))
+        rg = f.create_group("rpn_model")
+        wn = [f"rpn_model/{n}/{s}:0" for n in rpn_names for s in layers[n]]
+        rg.attrs["weight_names"] = np.array([n.encode() for n in wn], dtype="S96")
+        for n in rpn_names:
+            for s, arr in layers[n].items():
+                rg.create_dataset(f"rpn_model/{n}/{s}:0", data=np.asarray(arr))
+
+    cfg, _, _ = small_model
+    _, fresh = init_model(cfg, jax.random.PRNGKey(5))
+    merged, _, skipped = K.restore_from_keras_h5(fresh, path)
+    assert skipped == []
+    got = np.asarray(merged["params"]["rpn_head"]["rpn_conv_shared"]["kernel"])
+    np.testing.assert_array_equal(
+        got, np.asarray(variables["params"]["rpn_head"]["rpn_conv_shared"]["kernel"])
+    )
+
+    # failure mode: core layers present but unmappable -> loud error
+    bad = str(tmp_path / "bad.h5")
+    renamed = {
+        (f"tower_0/{n}" if n.startswith(("rpn_", "mrcnn_")) else n): w
+        for n, w in layers.items()
+    }
+    K.write_keras_h5(renamed, bad)
+    with pytest.raises(ValueError, match="rpn_.*mrcnn"):
+        K.restore_from_keras_h5(fresh, bad)
+
+
 def test_deconv_kernel_axes_swap(small_model, tmp_path):
     """Keras Conv2DTranspose stores [kh,kw,out,in]; the importer must swap
     to flax's [kh,kw,in,out] (detectable only with asymmetric content)."""

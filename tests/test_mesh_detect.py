@@ -1,0 +1,146 @@
+"""Mesh-sharded production inference (VERDICT r3 item 1).
+
+The `Detector` compiled over the 8-device virtual mesh must produce the
+same results as the serial one, through both the generic `detect()` path
+and the tiled fast path SFinder uses — so `--ngpu 8` detect on a v5e-8
+host saturates all chips with no semantic drift (the inference half of
+the reference's ParallelModel, mrcnn/parallel_model.py:30-104, wired at
+mrcnn/model.py:2161-2165).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from caesar_mrcnn_tpu.config import detector_config, inference_config
+from caesar_mrcnn_tpu.inference.detector import Detector, build_detector
+from caesar_mrcnn_tpu.models.mask_rcnn import init_model
+from caesar_mrcnn_tpu.utils import fits as F
+
+N_DEV = 8
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        backbone="custom",
+        image_min_dim=64,
+        image_max_dim=64,
+        num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+        pre_nms_limit=128,
+        post_nms_rois_inference=32,
+        detection_max_instances=8,
+        compute_dtype="float32",
+        num_devices=1,
+        images_per_device=1,
+    )
+    base.update(kw)
+    return detector_config(**base)
+
+
+def stabilize(variables):
+    """Bias the heads so detections are strong and far from thresholds:
+    class-2 logit bias +6 (score ~0.99, stable vs score cuts) and mask
+    bias +3 (sigmoid ~0.95, stable vs the 0.5 mask threshold) — makes
+    sharded-vs-serial catalog comparison immune to float jitter."""
+    v = jax.device_get(variables)
+    cb = np.array(v["params"]["classifier_head"]["mrcnn_class_logits"]["bias"])
+    cb[:] = 0.0
+    cb[2] = 6.0
+    v["params"]["classifier_head"]["mrcnn_class_logits"]["bias"] = cb
+    mb = np.array(v["params"]["mask_head"]["mrcnn_mask"]["bias"])
+    mb[:] = 3.0
+    v["params"]["mask_head"]["mrcnn_mask"]["bias"] = mb
+    return v
+
+
+@pytest.fixture(scope="module")
+def detector_pair():
+    """(sharded 8-device detector, serial detector) with identical
+    stabilized weights and the same global batch of 8."""
+    cfg_mesh = inference_config(
+        tiny_cfg(), num_devices=N_DEV, images_per_device=1
+    )
+    cfg_serial = inference_config(
+        tiny_cfg(), num_devices=1, images_per_device=N_DEV
+    )
+    model, variables = init_model(cfg_mesh, jax.random.PRNGKey(0))
+    variables = stabilize(variables)
+    det_mesh = build_detector(cfg_mesh)  # auto-creates the mesh
+    assert det_mesh.mesh is not None and det_mesh.mesh.devices.size == N_DEV
+    det_mesh.variables = variables
+    det_serial = Detector(cfg_serial, model, variables)
+    return det_mesh, det_serial
+
+
+def test_sharded_detect_matches_serial(detector_pair):
+    """detect() on a partial batch (exercises tail padding too)."""
+    det_mesh, det_serial = detector_pair
+    h, w, c = det_mesh.config.image_shape
+    rng = np.random.RandomState(1)
+    images = [rng.rand(h, w, c).astype(np.float32) for _ in range(5)]
+    rm = det_mesh.detect(images)
+    rs = det_serial.detect(images)
+    assert len(rm) == len(rs) == 5
+    for a, b in zip(rm, rs):
+        np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["rois"], b["rois"], atol=1)
+        assert a["masks"].shape == b["masks"].shape
+
+
+def test_sharded_tile_fast_path_matches_serial(detector_pair):
+    """dispatch_tiles (the u8 thin-wire path SFinder rides) sharded over
+    the mesh == serial."""
+    det_mesh, det_serial = detector_pair
+    h, w, _ = det_mesh.config.image_shape
+    rng = np.random.RandomState(2)
+    tiles = (rng.rand(6, h, w) * 255).astype(np.uint8)  # partial batch of 6
+    rm = det_mesh.detect_tiles(tiles)
+    rs = det_serial.detect_tiles(tiles)
+    assert len(rm) == len(rs) == 6
+    for a, b in zip(rm, rs):
+        np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["rois"], b["rois"], atol=1)
+
+
+def test_sfinder_tiled_catalog_identical_sharded_vs_serial(
+    detector_pair, tmp_path, monkeypatch
+):
+    """Full SFinder.run_tiled: the catalog from the mesh-sharded detector
+    equals the serial catalog (source count, classes, boxes, pixels)."""
+    from caesar_mrcnn_tpu.analysis.sfinder import SFinder
+
+    det_mesh, det_serial = detector_pair
+    rng = np.random.RandomState(0)
+    data = rng.normal(0.0, 0.01, (192, 192)).astype(np.float32)
+    data[20:40, 20:40] += 10.0
+    data[90:110, 120:140] += 10.0
+    path = str(tmp_path / "mosaic.fits")
+    F.write_fits(data, path, header={
+        "CDELT1": -2.8e-4, "CDELT2": 2.8e-4, "BMAJ": 1.5e-3, "BMIN": 1.2e-3,
+    })
+
+    def run(det, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        cfg = det.config.replace(
+            split_img_in_tiles=True, tile_xsize=64, tile_ysize=64,
+            tile_xstep=1.0, tile_ystep=1.0, score_thr=0.5,
+        )
+        sf = SFinder(det, cfg)
+        return sf.run_tiled(path)
+
+    cat_m = run(det_mesh, "mesh")
+    cat_s = run(det_serial, "serial")
+    assert len(cat_m["objs"]) == len(cat_s["objs"])
+    key = lambda o: (o["x1"], o["y1"])  # noqa: E731
+    for a, b in zip(sorted(cat_m["objs"], key=key), sorted(cat_s["objs"], key=key)):
+        assert a["class_name"] == b["class_name"]
+        assert (a["x1"], a["x2"], a["y1"], a["y2"]) == (b["x1"], b["x2"], b["y1"], b["y2"])
+        assert a["pars"]["npix"] == b["pars"]["npix"]
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-4)

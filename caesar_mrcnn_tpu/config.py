@@ -136,6 +136,15 @@ class Config:
     # "float8_e4m3fn" halves the HBM bytes of the bytes-bound pyramid
     # gather). Training always gathers exact.
     roi_gather_dtype: str = "none"
+    # Optimizer accumulator dtype ("float32" exact; "bfloat16" halves the
+    # HBM bytes of SGD momentum / Adam first moment — measured lever, see
+    # CLAUDE.md train ledger).
+    opt_state_dtype: str = "float32"
+    # Training rematerialization policy: "none" stores all activations;
+    # "backbone" wraps the backbone+FPN feature pass in jax.checkpoint
+    # (recompute in the backward, ~1 extra feature pass of FLOPs for the
+    # largest activation savings); "all" also remats the two heads.
+    train_remat: str = "none"
 
     # --- FITS preprocessing (reference: scripts/run.py:219-228) ---------------
     zscale_stretch: bool = True

@@ -311,7 +311,24 @@ def forward_train(
             return out
         return model.apply(variables, *args, method=method)
 
-    pyramid = apply(MaskRCNN.features, images, True)
+    remat = getattr(cfg, "train_remat", "none")
+    if remat not in ("none", "backbone", "all"):
+        raise ValueError(f"unknown train_remat {remat!r}")
+    if train_bn and remat != "none":
+        remat = "none"  # mutable batch_stats can't thread through checkpoint
+
+    def ckpt(method):
+        """jax.checkpoint'd module apply: recompute activations in bwd.
+        The train flag is closed over (it drives Python control flow and
+        must stay static under the checkpoint trace)."""
+        return jax.checkpoint(
+            lambda v, x: model.apply(v, x, True, method=method)
+        )
+
+    if remat in ("backbone", "all"):
+        pyramid = ckpt(MaskRCNN.features)(variables, images)
+    else:
+        pyramid = apply(MaskRCNN.features, images, True)
     rpn_logits, rpn_probs, rpn_bbox = model.apply(variables, pyramid, method=MaskRCNN.rpn)
 
     if ext_rois is None:
@@ -340,14 +357,22 @@ def forward_train(
 
     image_shape = cfg.image_shape[:2]
     pooled = pyramid_roi_align_batched(pyramid, rois, image_shape, cfg.pool_size)
-    class_logits, _, bbox_deltas = apply(MaskRCNN.classifier, pooled, True)
+    if remat == "all":
+        class_logits, _, bbox_deltas = ckpt(MaskRCNN.classifier)(
+            variables, pooled
+        )
+    else:
+        class_logits, _, bbox_deltas = apply(MaskRCNN.classifier, pooled, True)
 
     pos_cap = int(cfg.train_rois_per_image * cfg.roi_positive_ratio)
     mask_rois = rois[:, :pos_cap]
     mask_pooled = pyramid_roi_align_batched(
         pyramid, mask_rois, image_shape, cfg.mask_pool_size
     )
-    masks = apply(MaskRCNN.mask, mask_pooled, True)
+    if remat == "all":
+        masks = ckpt(MaskRCNN.mask)(variables, mask_pooled)
+    else:
+        masks = apply(MaskRCNN.mask, mask_pooled, True)
 
     return TrainForward(
         rpn_class_logits=rpn_logits,

@@ -164,6 +164,31 @@ def detect_flops(cfg, n_cls_rois: Optional[int] = None,
     return f
 
 
+def train_flops(cfg) -> Dict[str, float]:
+    """Analytic per-image FLOP count of one optimizer step (VERDICT r3
+    item 2 — the train-side twin of :func:`detect_flops`; reference hot
+    loop #2 is the SGD step, mrcnn/model.py:2487-2499).
+
+    Forward = the detect conv stack with training head populations: the
+    classifier runs on ``train_rois_per_image`` sampled ROIs and the mask
+    head on the positive prefix only
+    (``train_rois_per_image * roi_positive_ratio`` — see
+    models/mask_rcnn.py::forward_train). Backward = 2x forward (one
+    matmul-shaped pass each for input grads and weight grads — the
+    standard conv/dense accounting). Optimizer/elementwise work is
+    byte- not FLOP-bound and excluded, like gather/NMS in detect_flops.
+    """
+    pos_cap = int(cfg.train_rois_per_image * cfg.roi_positive_ratio)
+    fwd = detect_flops(
+        cfg, n_cls_rois=cfg.train_rois_per_image, n_mask_rois=pos_cap
+    )
+    out = {f"fwd_{k}": v for k, v in fwd.items() if k != "total"}
+    out["fwd_total"] = fwd["total"]
+    out["bwd_total"] = 2.0 * fwd["total"]
+    out["total"] = 3.0 * fwd["total"]
+    return out
+
+
 def xla_flops(jitted_fn, *args) -> Optional[float]:
     """Exact whole-graph FLOPs from XLA's compiled cost analysis; None when
     the backend doesn't expose it. Cross-checks :func:`detect_flops`."""

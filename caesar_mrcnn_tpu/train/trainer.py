@@ -74,10 +74,16 @@ def decay_mask(params):
 
 
 def make_optimizer(config: Config, params, layers: str = "all") -> optax.GradientTransformation:
+    acc_dtype = getattr(config, "opt_state_dtype", "float32")
+    acc = None if acc_dtype in ("float32", "", None) else jnp.dtype(acc_dtype)
     if config.optimizer.lower() == "adam":
-        opt = optax.adam(config.learning_rate)
+        opt = optax.adam(config.learning_rate, mu_dtype=acc)
     elif config.optimizer.lower() == "sgd":
-        opt = optax.sgd(config.learning_rate, momentum=config.learning_momentum)
+        opt = optax.sgd(
+            config.learning_rate,
+            momentum=config.learning_momentum,
+            accumulator_dtype=acc,
+        )
     else:
         raise ValueError(f"unknown optimizer {config.optimizer}")
     chain = [

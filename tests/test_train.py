@@ -259,3 +259,98 @@ def test_mold_batch_wire_format_equivalence():
     assert a["gt_masks"].dtype == jnp.float32
     assert a["rpn_match"].dtype == jnp.int32
     assert "other" in a  # untouched keys pass through
+
+
+# --------------------------------------------------- train perf ledger (r4)
+
+
+def test_train_flops_analytic_vs_xla():
+    """train_flops (train MFU accounting, VERDICT r3 item 2) must agree
+    with XLA's compiled cost analysis on a backbone fwd+bwd, where ~all
+    training FLOPs live (the 3x-forward convention: fwd + input-grad +
+    weight-grad passes)."""
+    import jax.numpy as jnp
+
+    from caesar_mrcnn_tpu.models.backbone import ResNet
+    from caesar_mrcnn_tpu.train.observability import (
+        detect_flops,
+        train_flops,
+        xla_flops,
+    )
+
+    cfg = detector_config(
+        num_classes=4, class_names=("bkg", "a", "b", "c"),
+        image_min_dim=128, image_max_dim=128, backbone="resnet50",
+        images_per_device=1, num_devices=1,
+    )
+    model = ResNet(architecture="resnet50")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, x):
+        return sum(jnp.sum(o) for o in model.apply(v, x))
+
+    fn = jax.jit(jax.value_and_grad(loss))
+    measured = xla_flops(fn, variables, x)
+    assert measured is not None
+    analytic = 3.0 * detect_flops(cfg)["backbone"]
+    # The first conv's input-grad pass is skipped (no grad wrt pixels) and
+    # border-overlap conventions differ a few %; the 3x convention should
+    # still land within 15%.
+    assert abs(measured - analytic) / measured < 0.15, (measured, analytic)
+
+    fl = train_flops(cfg)
+    assert fl["total"] == 3.0 * fl["fwd_total"]
+    assert fl["bwd_total"] == 2.0 * fl["fwd_total"]
+    # training head populations, not inference ones
+    det = detect_flops(
+        cfg,
+        n_cls_rois=cfg.train_rois_per_image,
+        n_mask_rois=int(cfg.train_rois_per_image * cfg.roi_positive_ratio),
+    )
+    assert fl["fwd_total"] == det["total"]
+
+
+@pytest.mark.parametrize("remat", ["backbone", "all"])
+def test_train_remat_matches_none(tiny_cfg, tiny_dataset, remat):
+    """jax.checkpoint rematerialization must not change the math: one
+    train step under each policy produces identical losses and params."""
+    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1)
+    batch = next(pipe.batches())
+    rng = jax.random.PRNGKey(7)
+    results = {}
+    for policy in ("none", remat):
+        cfg = tiny_cfg.replace(train_remat=policy)
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        state, tx = create_train_state(cfg, variables)
+        step = make_train_step(model, tx, pipe.anchors_normalized())
+        state, losses = step(state, batch, rng)
+        results[policy] = (
+            float(losses["total_loss"]),
+            jax.tree_util.tree_leaves(state.params)[0],
+        )
+    l0, p0 = results["none"]
+    l1, p1 = results[remat]
+    np.testing.assert_allclose(l1, l0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-6)
+
+
+def test_opt_state_dtype_bf16(tiny_cfg, tiny_dataset):
+    """opt_state_dtype='bfloat16' stores optimizer accumulators in bf16
+    (half the optimizer HBM) and still trains to a finite loss."""
+    import jax.numpy as jnp
+
+    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1)
+    cfg = tiny_cfg.replace(optimizer="adam", opt_state_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(cfg, variables)
+    mu_leaves = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    ]
+    assert mu_leaves, "no bf16 accumulator found in adam opt state"
+    step = make_train_step(model, tx, pipe.anchors_normalized())
+    batch = next(pipe.batches())
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))

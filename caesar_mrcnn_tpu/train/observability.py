@@ -81,21 +81,15 @@ def device_trace(logdir: Optional[str]) -> Iterator[None]:
 V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak (TPU v5e datasheet)
 
 
-def detect_flops(cfg, n_cls_rois: Optional[int] = None,
-                 n_mask_rois: Optional[int] = None) -> Dict[str, float]:
-    """Analytic per-stage FLOP count of the inference graph, per image
-    (VERDICT r2 item 9 — anchors MFU claims; 2*MACs convention).
-
-    Covers the conv/matmul stages that carry essentially all FLOPs:
-    backbone, FPN, RPN, classifier head, mask head. Gather/sort/NMS work
-    is byte- not FLOP-bound and is deliberately excluded.
-    """
+def detect_conv_specs(cfg, n_cls_rois: Optional[int] = None,
+                      n_mask_rois: Optional[int] = None):
+    """Yield every conv/matmul of the inference graph as
+    ``(stage, n_sites, h_out, w_out, c_out, k, c_in)`` — ``n_sites`` is
+    the number of spatial instances per image (1 for backbone/FPN/RPN
+    convs, the ROI count for head layers). Single source of truth for
+    :func:`detect_flops` and :func:`detect_roofline`."""
     h, w, c_in = cfg.image_shape
     tdps = cfg.top_down_pyramid_size
-    f = {}
-
-    def conv(h_out, w_out, c_out, k, c_inp):
-        return 2.0 * h_out * w_out * c_out * k * k * c_inp
 
     custom = cfg.backbone == "custom"
     stem_f = 16 if custom else 64
@@ -106,7 +100,7 @@ def detect_flops(cfg, n_cls_rois: Optional[int] = None,
     )
     n4 = 2 if custom else {"resnet50": 6, "resnet101": 23}[cfg.backbone]
     # stem 7x7/2 (models/backbone.py stage 1; reference: mrcnn/model.py:185)
-    total = conv(h // 2, w // 2, stem_f, 7, c_in)
+    yield ("backbone", 1, h // 2, w // 2, stem_f, 7, c_in)
     n_blocks_per_stage = [3, 4, n4, 3]
     prev_c = stem_f
     for stage, ((f1, f2, f3), n_blocks) in enumerate(
@@ -115,53 +109,115 @@ def detect_flops(cfg, n_cls_rois: Optional[int] = None,
         hh, ww = h // (4 * 2**stage), w // (4 * 2**stage)
         for b in range(n_blocks):
             cin = prev_c if b == 0 else f3
-            total += conv(hh, ww, f1, 1, cin)
-            total += conv(hh, ww, f2, 3, f1)
-            total += conv(hh, ww, f3, 1, f2)
+            yield ("backbone", 1, hh, ww, f1, 1, cin)
+            yield ("backbone", 1, hh, ww, f2, 3, f1)
+            yield ("backbone", 1, hh, ww, f3, 1, f2)
             if b == 0:  # projection shortcut
-                total += conv(hh, ww, f3, 1, cin)
+                yield ("backbone", 1, hh, ww, f3, 1, cin)
         prev_c = f3
-    f["backbone"] = total
     c_levels = [wset[2] for wset in widths]
 
     # FPN lateral 1x1 + output 3x3 per P2-P5 (reference: model.py:2003-2026)
-    fpn = 0.0
     for lvl, cl in zip((4, 8, 16, 32), c_levels):
         hh, ww = h // lvl, w // lvl
-        fpn += conv(hh, ww, tdps, 1, cl) + conv(hh, ww, tdps, 3, tdps)
-    f["fpn"] = fpn
+        yield ("fpn", 1, hh, ww, tdps, 1, cl)
+        yield ("fpn", 1, hh, ww, tdps, 3, tdps)
 
     # RPN over P2-P6: shared 3x3/512 + two 1x1 heads (models/rpn.py)
     a = len(cfg.rpn_anchor_ratios)
-    rpn = 0.0
     for s in cfg.backbone_strides:
         hh, ww = -(-h // s), -(-w // s)
-        rpn += conv(hh, ww, 512, 3, tdps)
-        rpn += conv(hh, ww, 2 * a + 4 * a, 1, 512)
-    f["rpn"] = rpn
+        yield ("rpn", 1, hh, ww, 512, 3, tdps)
+        yield ("rpn", 1, hh, ww, 2 * a + 4 * a, 1, 512)
 
     # classifier head on pooled 7x7 ROIs (reference: model.py:986-1039)
     n_cls = n_cls_rois if n_cls_rois is not None else cfg.post_nms_rois_inference
     fc = cfg.fpn_classif_fc_layers_size
     p = cfg.pool_size
-    per_roi = (
-        2.0 * fc * p * p * tdps          # fc1 (VALID 7x7 conv == matmul)
-        + 2.0 * fc * fc                  # fc2
-        + 2.0 * cfg.num_classes * fc     # class logits
-        + 2.0 * 4 * cfg.num_classes * fc # bbox deltas
-    )
-    f["classifier"] = n_cls * per_roi
+    yield ("classifier", n_cls, 1, 1, fc, p, tdps)  # fc1 == VALID pxp conv
+    yield ("classifier", n_cls, 1, 1, fc, 1, fc)    # fc2
+    yield ("classifier", n_cls, 1, 1, cfg.num_classes, 1, fc)
+    yield ("classifier", n_cls, 1, 1, 4 * cfg.num_classes, 1, fc)
 
     # mask head on pooled 14x14 ROIs (reference: model.py:1042-1091)
     n_mask = n_mask_rois if n_mask_rois is not None else cfg.detection_max_instances
     mp = cfg.mask_pool_size
-    per_det = 4 * conv(mp, mp, tdps, 3, tdps)          # 4x conv3x3/256
-    per_det += conv(2 * mp, 2 * mp, tdps, 2, tdps)     # 2x2/2 deconv
-    per_det += conv(2 * mp, 2 * mp, cfg.num_classes, 1, tdps)
-    f["mask"] = n_mask * per_det
+    for _ in range(4):
+        yield ("mask", n_mask, mp, mp, tdps, 3, tdps)
+    yield ("mask", n_mask, 2 * mp, 2 * mp, tdps, 2, tdps)  # 2x2/2 deconv
+    yield ("mask", n_mask, 2 * mp, 2 * mp, cfg.num_classes, 1, tdps)
 
+
+def detect_flops(cfg, n_cls_rois: Optional[int] = None,
+                 n_mask_rois: Optional[int] = None) -> Dict[str, float]:
+    """Analytic per-stage FLOP count of the inference graph, per image
+    (VERDICT r2 item 9 — anchors MFU claims; 2*MACs convention).
+
+    Covers the conv/matmul stages that carry essentially all FLOPs:
+    backbone, FPN, RPN, classifier head, mask head. Gather/sort/NMS work
+    is byte- not FLOP-bound and is deliberately excluded.
+    """
+    f: Dict[str, float] = {}
+    for stage, n, hh, ww, cout, k, cin in detect_conv_specs(
+        cfg, n_cls_rois, n_mask_rois
+    ):
+        f[stage] = f.get(stage, 0.0) + n * 2.0 * hh * ww * cout * k * k * cin
     f["total"] = sum(f.values())
     return f
+
+
+V5E_HBM_BYTES_PER_S = 819e9  # per-chip HBM bandwidth (TPU v5e datasheet)
+
+
+def detect_roofline(cfg, batch: int,
+                    measured_ms: Optional[Dict[str, float]] = None,
+                    peak_flops: float = V5E_BF16_PEAK_FLOPS,
+                    hbm_bw: float = V5E_HBM_BYTES_PER_S) -> Dict[str, Dict]:
+    """Per-stage roofline model of the conv stages (VERDICT r3 item 6).
+
+    For each stage: FLOPs, HBM bytes (activations in+out per image x batch
+    + weights once per batch — XLA fuses elementwise consumers so only
+    conv tensors are counted), arithmetic intensity, the roofline time
+    floor ``max(flops/peak, bytes/bw)`` for the whole batch, and the
+    bound that binds. With ``measured_ms`` (per-batch stage times, e.g.
+    CLAUDE.md's stage profile) adds achieved efficiency vs the floor.
+
+    The quality of the model is anchored by detect_flops' XLA
+    cost-analysis validation (tests/test_misc.py) — bytes here use the
+    compute dtype width from ``cfg.compute_dtype``.
+    """
+    ebytes = 2.0 if cfg.compute_dtype == "bfloat16" else 4.0
+    stages: Dict[str, Dict] = {}
+    for stage, n, hh, ww, cout, k, cin in detect_conv_specs(cfg):
+        s = stages.setdefault(stage, {"flops": 0.0, "act_bytes": 0.0,
+                                      "weight_bytes": 0.0})
+        s["flops"] += n * 2.0 * hh * ww * cout * k * k * cin
+        # input read (stride-aware approx: k>1 convs re-read within the
+        # fused tile, charge once) + output write, per site
+        s["act_bytes"] += n * ebytes * (hh * ww * cout + hh * ww * cin * (
+            4.0 if k > 2 else 1.0))  # strided convs read k^2/str^2-ish
+        s["weight_bytes"] += ebytes * k * k * cin * cout
+    out: Dict[str, Dict] = {}
+    for stage, s in stages.items():
+        flops_b = s["flops"] * batch
+        bytes_b = s["act_bytes"] * batch + s["weight_bytes"]
+        t_compute = flops_b / peak_flops
+        t_memory = bytes_b / hbm_bw
+        floor = max(t_compute, t_memory)
+        rec = {
+            "gflops_per_img": round(s["flops"] / 1e9, 2),
+            "mbytes_per_batch": round(bytes_b / 1e6, 2),
+            "intensity_flops_per_byte": round(flops_b / bytes_b, 1),
+            "bound": "compute" if t_compute >= t_memory else "bandwidth",
+            "floor_ms_per_batch": round(floor * 1e3, 3),
+        }
+        if measured_ms and stage in measured_ms:
+            rec["measured_ms"] = measured_ms[stage]
+            rec["efficiency_vs_floor"] = round(
+                floor * 1e3 / measured_ms[stage], 3
+            )
+        out[stage] = rec
+    return out
 
 
 def train_flops(cfg) -> Dict[str, float]:

@@ -36,7 +36,15 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(
         description="Train/evaluate/apply the TPU-native radio-source Mask R-CNN."
     )
-    parser.add_argument("command", metavar="<command>", help="'train', 'test' or 'detect'")
+    parser.add_argument(
+        "command", metavar="<command>",
+        help="'train', 'test', 'detect' or 'export' (AOT serving artifact)",
+    )
+    parser.add_argument(
+        "--export_path", type=str, default=None,
+        help="output path for the 'export' command (StableHLO artifact + "
+        ".json sidecar)",
+    )
 
     # COMMON OPTIONS (reference: scripts/run.py:1272-1304)
     parser.add_argument("--imgsize", type=int, default=256)
@@ -153,8 +161,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 def validate_args(args) -> int:
     """(reference: scripts/run.py:1387-1443)."""
-    if args.command not in ("train", "test", "detect"):
+    if args.command not in ("train", "test", "detect", "export"):
         logger.error("Unknown command %s", args.command)
+        return -1
+    if args.command == "export" and not args.export_path:
+        logger.error("--export_path required for export")
         return -1
     if args.command in ("train", "test"):
         if args.dataloader in ("datalist", "datalist_json"):
@@ -441,6 +452,16 @@ def run_test(args, cfg: Config) -> int:
     return tester.test()
 
 
+def run_export(args, cfg: Config) -> int:
+    """Export the (optionally weight-restored) detect graph as a
+    self-contained serving artifact (inference/export.py)."""
+    from ..inference.export import export_detector
+
+    detector = _build_detector(args, cfg)
+    export_detector(detector, args.export_path)
+    return 0
+
+
 def run_detect(args, cfg: Config) -> int:
     """(reference: scripts/run.py:1172-1189)."""
     from ..analysis.sfinder import SFinder
@@ -526,6 +547,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return run_test(args, cfg)
     if args.command == "detect":
         return run_detect(args, cfg)
+    if args.command == "export":
+        return run_export(args, cfg)
     return 1
 
 

@@ -80,3 +80,19 @@ def test_cli_train_test_detect(workdir):
     with open(workdir / "cat.json") as f:
         cat = json.load(f)
     assert "objs" in cat
+
+    # --- export mode: AOT serving artifact from the same checkpoint
+    art = str(workdir / "detector.stablehlo")
+    rc = cli.main(
+        ["export", "--weights", ckpt, "--export_path", art] + TINY
+    )
+    assert rc == 0
+    assert os.path.getsize(art) > 1000
+    from caesar_mrcnn_tpu.inference.export import ServingDetector
+
+    srv = ServingDetector(art)
+    assert srv.batch_size == 2
+    out = srv.detect(
+        [np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)]
+    )
+    assert len(out) == 1 and "masks" in out[0]

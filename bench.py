@@ -107,7 +107,7 @@ def measure_device(det, batch: int, size: int) -> float:
         out = fn(variables, images, metas, anchors)
     sync(out)
 
-    iters = 30
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(variables, images, metas, anchors)
@@ -239,7 +239,10 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
 
 
 def main() -> None:
-    batch, size = 8, 512
+    # BENCH_BATCH/BENCH_SIZE are smoke-test hooks (e.g. the virtual-CPU
+    # mesh validation of the sharded path); the driver headline is 8/512.
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
     ndev = n_bench_devices()
     det = build_detector(batch, size, n_devices=ndev)
     # global batch = 8 * ndev; measure_device reports global img/s
@@ -255,7 +258,10 @@ def main() -> None:
         e2e = measure_e2e(det16, 16 * ndev, size)
     baseline = 50.0
     rec = {
-        "metric": "img/sec/chip at 512^2 FITS detect (resnet101 bf16 batch 8)",
+        "metric": (
+            f"img/sec/chip at {size}^2 FITS detect "
+            f"(resnet101 bf16 batch {batch})"
+        ),
         "value": round(dev_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(dev_ips / baseline, 3),

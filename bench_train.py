@@ -88,7 +88,7 @@ def build_problem(args):
     rpn_match = np.zeros((b, a), np.int8)
     rpn_match[:, : n_obj * 3] = 1
     rpn_match[:, n_obj * 3 : cfg.rpn_train_anchors_per_image] = -1
-    rpn_deltas = np.zeros((b, cfg.rpn_train_anchors_per_image, 4), np.float32)
+    rpn_deltas = np.zeros((b, a, 4), np.float32)
     rpn_deltas[:, : n_obj * 3] = rng.randn(b, n_obj * 3, 4) * 0.1
     meta = np.stack(
         [

@@ -220,3 +220,29 @@ def test_introspection(tmp_path):
     assert "backbone" in counts
     layers = get_trainable_layers(variables["params"], "heads")
     assert layers and not any("backbone/res2" in l for l in layers)
+
+
+def test_detect_roofline_structure():
+    """Roofline model (VERDICT r3 item 6): stages, bounds, and floors are
+    consistent with the validated FLOP counter."""
+    from caesar_mrcnn_tpu.config import detector_config
+    from caesar_mrcnn_tpu.train.observability import detect_flops, detect_roofline
+
+    cfg = detector_config(
+        num_classes=4, class_names=("bkg", "a", "b", "c"),
+        image_min_dim=512, image_max_dim=512,
+        images_per_device=8, num_devices=1,
+    )
+    measured = {"backbone": 8.0, "fpn": 1.0, "rpn": 4.8,
+                "classifier": 3.0, "mask": 6.3}
+    roof = detect_roofline(cfg, 8, measured)
+    assert set(roof) == {"backbone", "fpn", "rpn", "classifier", "mask"}
+    fl = detect_flops(cfg)
+    for stage, rec in roof.items():
+        assert rec["bound"] in ("compute", "bandwidth")
+        assert rec["floor_ms_per_batch"] > 0
+        assert 0 < rec["efficiency_vs_floor"] < 1.5  # floors below measured
+        # per-image GFLOPs consistent with detect_flops
+        assert abs(rec["gflops_per_img"] - fl[stage] / 1e9) < 0.01 * fl[stage] / 1e9 + 0.01
+    # the mask head at 512^2 b8 must be compute-bound (high intensity)
+    assert roof["mask"]["bound"] == "compute"

@@ -136,6 +136,10 @@ class Config:
     # "float8_e4m3fn" halves the HBM bytes of the bytes-bound pyramid
     # gather). Training always gathers exact.
     roi_gather_dtype: str = "none"
+    # Run the RPN objectness+delta 1x1 convs as one fused matmul over
+    # concatenated output channels (identical math and param tree; halves
+    # shared-map reads). Perf lever, see CLAUDE.md ledger.
+    rpn_fused_heads: bool = False
     # Optimizer accumulator dtype ("float32" exact; "bfloat16" halves the
     # HBM bytes of SGD momentum / Adam first moment — measured lever, see
     # CLAUDE.md train ledger).

@@ -49,6 +49,7 @@ class MaskRCNN(nn.Module):
             anchors_per_location=len(cfg.rpn_anchor_ratios),
             anchor_stride=cfg.rpn_anchor_stride,
             dtype=dt,
+            fused_heads=getattr(cfg, "rpn_fused_heads", False),
         )
         self.classifier_head = ClassifierHead(
             num_classes=cfg.num_classes,

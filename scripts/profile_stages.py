@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--repeat", type=int, default=20)
+    p.add_argument("--rpn-fused", action="store_true",
+                   help="A/B: fused RPN 1x1 heads (config.rpn_fused_heads)")
     args = p.parse_args()
 
     import jax
@@ -63,6 +65,7 @@ def main() -> None:
         images_per_device=args.batch,
         num_devices=1,
         compute_dtype="bfloat16",
+        rpn_fused_heads=args.rpn_fused,
     )
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     b = args.batch

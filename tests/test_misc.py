@@ -246,3 +246,27 @@ def test_detect_roofline_structure():
         assert abs(rec["gflops_per_img"] - fl[stage] / 1e9) < 0.01 * fl[stage] / 1e9 + 0.01
     # the mask head at 512^2 b8 must be compute-bound (high intensity)
     assert roof["mask"]["bound"] == "compute"
+
+
+def test_rpn_fused_heads_parity():
+    """config.rpn_fused_heads must keep the param tree identical and
+    produce the same outputs as the two-conv formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from caesar_mrcnn_tpu.models.rpn import RPNHead
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 64), jnp.float32)
+    plain = RPNHead(anchors_per_location=3, dtype=jnp.float32)
+    fused = RPNHead(anchors_per_location=3, dtype=jnp.float32, fused_heads=True)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    # identical tree structure and shapes
+    pp = jax.tree_util.tree_leaves_with_path(vp)
+    pf = jax.tree_util.tree_leaves_with_path(vf)
+    assert [(p, l.shape) for p, l in pp] == [(p, l.shape) for p, l in pf]
+    # same params through both paths -> same outputs
+    out_p = plain.apply(vp, x)
+    out_f = fused.apply(vp, x)
+    for a, b in zip(out_p, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

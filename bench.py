@@ -238,7 +238,36 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     return out
 
 
+def probe_backend(timeout_s: int = 240) -> bool:
+    """The axon tunnel can go fully down, in which case jax backend init
+    HANGS forever (no timeout, no error — observed for hours in round 4).
+    Probe device discovery in a subprocess with a hard timeout so the
+    bench fails fast with a diagnostic instead of wedging the driver."""
+    import subprocess
+
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices())"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+        return True
+    except Exception:  # noqa: BLE001 — timeout or nonzero exit
+        return False
+
+
 def main() -> None:
+    if not probe_backend():
+        print(json.dumps({
+            "metric": "img/sec/chip at 512^2 FITS detect",
+            "value": None,
+            "unit": "img/s",
+            "error": "device backend unreachable (tunnel down): "
+                     "jax.devices() hung past the probe timeout",
+        }))
+        sys.exit(1)
     # BENCH_BATCH/BENCH_SIZE are smoke-test hooks (e.g. the virtual-CPU
     # mesh validation of the sharded path); the driver headline is 8/512.
     batch = int(os.environ.get("BENCH_BATCH", "8"))

@@ -144,3 +144,22 @@ def test_sfinder_tiled_catalog_identical_sharded_vs_serial(
         assert (a["x1"], a["x2"], a["y1"], a["y2"]) == (b["x1"], b["x2"], b["y1"], b["y2"])
         assert a["pars"]["npix"] == b["pars"]["npix"]
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-4)
+
+
+def test_sharded_raw_wire_matches_serial(detector_pair):
+    """dispatch_tiles_raw (f32 wire, on-device zscale/stretch) sharded
+    over the mesh == serial — covers the [B]-shaped vmin/vmax shardings."""
+    det_mesh, det_serial = detector_pair
+    h, w, _ = det_mesh.config.image_shape
+    rng = np.random.RandomState(5)
+    raw = rng.normal(0.0, 0.1, (8, h, w)).astype(np.float32)
+    raw[:, 10:20, 10:20] += 5.0
+    raw[0, 0, 0] = np.nan  # NaN handling must survive sharding too
+    limits = np.tile(np.asarray([[-0.2, 5.0]], np.float32), (8, 1))
+    rm = det_mesh.collect(det_mesh.dispatch_tiles_raw(raw, limits))
+    rs = det_serial.collect(det_serial.dispatch_tiles_raw(raw, limits))
+    assert len(rm) == len(rs) == 8
+    for a, b in zip(rm, rs):
+        np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["rois"], b["rois"], atol=1)

@@ -59,6 +59,7 @@ def build_problem(args):
         optimizer=args.opt,
         opt_state_dtype=args.opt_dtype,
         max_gt_instances=args.gt,
+        rpn_fused_heads=args.rpn_fused,
     )
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     state, tx = create_train_state(cfg, variables, layers="all")
@@ -137,6 +138,7 @@ def main() -> None:
     p.add_argument("--opt", default="adam", choices=["sgd", "adam"])
     p.add_argument("--opt-dtype", default="float32")
     p.add_argument("--no-fwd", action="store_true")
+    p.add_argument("--rpn-fused", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -165,6 +167,8 @@ def main() -> None:
         "train_mfu": round(mfu, 4),
         "tflops_per_img": round(fl["total"] / 1e12, 3),
         "total_loss": round(last_loss, 4),
+        "opt_state_dtype": args.opt_dtype,
+        "rpn_fused_heads": args.rpn_fused,
     }
 
     if not args.no_fwd:

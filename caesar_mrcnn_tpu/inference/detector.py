@@ -51,10 +51,11 @@ class Detector:
             from ..parallel.mesh import batch_sharding, replicated
 
             n = int(np.prod(mesh.devices.shape))
-            assert config.batch_size % n == 0, (
-                f"global batch {config.batch_size} not divisible by "
-                f"mesh size {n}"
-            )
+            if config.batch_size % n != 0:
+                raise ValueError(
+                    f"global batch {config.batch_size} not divisible by "
+                    f"mesh size {n}"
+                )
             self._rep = replicated(mesh)
             self._data = batch_sharding(mesh)
         else:
@@ -304,10 +305,11 @@ class Detector:
             return np.asarray(out.detections), np.asarray(out.masks)
         # The device bitcast emits little-endian bytes; reinterpreting on a
         # big-endian host would scramble boxes/scores silently.
-        assert sys.byteorder == "little", (
-            "packed tile wire requires a little-endian host; "
-            "set config.mask_wire_dtype='float32' to disable packing"
-        )
+        if sys.byteorder != "little":
+            raise RuntimeError(
+                "packed tile wire requires a little-endian host; "
+                "set config.mask_wire_dtype='float32' to disable packing"
+            )
         buf = np.asarray(out)  # [B, D, 24 + mh*mw] u8 — single fetch
         b, d, _ = buf.shape
         detections = (

@@ -153,15 +153,26 @@ class ServingDetector:
             zero_ix = np.where(det[:, 4] == 0)[0]
             k = zero_ix[0] if zero_ix.shape[0] > 0 else det.shape[0]
             boxes = B.denorm_boxes(det[:k, :4], (h, w))
+            class_ids = det[:k, 4].astype(np.int32)
+            scores = det[:k, 5].astype(np.float32)
             m = masks[i, :k]
+            # drop boxes that collapse to zero pixel area after denorm
+            # rounding — same exclusion as Detector.unmold_detections
+            # (reference: mrcnn/model.py:2585-2595); unmold_mask cannot
+            # resize to an empty box.
+            keep = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) > 0
+            boxes, class_ids, scores, m = (
+                boxes[keep], class_ids[keep], scores[keep], m[keep]
+            )
+            k = boxes.shape[0]
             full = [
                 I.unmold_mask(m[j], boxes[j], (h, w, c)) for j in range(k)
             ]
             results.append(
                 {
                     "rois": boxes,
-                    "class_ids": det[:k, 4].astype(np.int32),
-                    "scores": det[:k, 5].astype(np.float32),
+                    "class_ids": class_ids,
+                    "scores": scores,
                     "masks": (
                         np.stack(full, axis=-1)
                         if full

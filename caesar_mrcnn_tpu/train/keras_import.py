@@ -255,7 +255,14 @@ def restore_from_keras_h5(
     # randomly-initialized head.
     core_stored = [n for n in layers if "rpn_" in n or "mrcnn_" in n]
     core_loaded = [n for n in loaded if ("rpn" in n or "head" in n)]
-    if core_stored and not core_loaded:
+    # An exclude pattern that targets core layers (e.g. backbone-only
+    # transfer with exclude=["rpn_head", ...]) makes an empty core load
+    # the REQUESTED outcome, not a mapping failure.
+    core_excluded = any(
+        "rpn" in pat or "head" in pat or "mrcnn" in pat
+        for pat in (exclude or ())
+    )
+    if core_stored and not core_loaded and not core_excluded:
         raise ValueError(
             f"keras import loaded none of the {len(core_stored)} rpn_*/mrcnn_* "
             f"layers present in {path} — layer-name mapping failed "

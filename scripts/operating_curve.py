@@ -54,8 +54,15 @@ def main() -> None:
 
     gts, dets = read_padilla_dirs(args.gt, args.det)
     classes = sorted({g.class_name for g in gts})
-    t0, t1, dt = (float(v) for v in args.thresholds.split(":"))
+    if not classes:
+        sys.exit(f"no ground-truth classes parsed from {args.gt}")
+    try:
+        t0, t1, dt = (float(v) for v in args.thresholds.split(":"))
+    except ValueError:
+        sys.exit(f"--thresholds must be start:stop:step, got {args.thresholds!r}")
     thresholds = np.arange(t0, t1 + 1e-9, dt)
+    if thresholds.size == 0:
+        sys.exit(f"--thresholds {args.thresholds!r} yields an empty sweep")
 
     # PR curves (threshold-independent: from the full scored set)
     summary = {"iou": args.iou, "classes": {}}

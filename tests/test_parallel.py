@@ -169,7 +169,11 @@ def _run_two_workers(script, tag, tmp_path, extra_args=()):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    # Hang guard only, not a perf bound: each worker compiles its graphs
+    # from scratch, and on a contended 1-CPU host that legitimately takes
+    # minutes (a 240s/360s bound flaked under concurrent load, the
+    # VERDICT-r3 wall-clock-assert lesson).
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"{tag}_{i}_OK" in out
@@ -228,7 +232,7 @@ def _run_two_workers_capture(script, tag, tmp_path, extra_args=()):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=360)[0] for p in procs]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]  # hang guard only
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"{tag}_{i}_OK" in out

@@ -81,3 +81,31 @@ def test_serving_detector_partial_batch_and_validation(exported):
         srv.detect([rng.rand(32, 32, 3).astype(np.float32)])
     with pytest.raises(ValueError):
         srv.detect([])
+
+
+def test_serving_detector_drops_zero_area_boxes(exported):
+    """A detection whose box collapses to zero pixel area after denorm
+    rounding must be excluded before unmold_mask (cv2.resize cannot
+    produce an empty target) — the same exclusion the live
+    Detector.unmold_detections applies (detector.py)."""
+    _, path = exported
+    srv = ServingDetector(path)
+    b = srv.batch_size
+    d = srv.meta["detection_max_instances"]
+    mh = mw = 2 * 14  # mask head output resolution
+
+    def fake_call(molded):
+        det = np.zeros((b, d, 6), np.float32)
+        # one healthy detection + one degenerate (inverted y: y2 < y1,
+        # which denorms to non-positive pixel area) detection
+        det[:, 0] = [0.1, 0.1, 0.5, 0.5, 2, 0.9]
+        det[:, 1] = [0.25, 0.2, 0.15, 0.6, 2, 0.8]
+        masks = np.ones((b, d, mh, mw), np.float32)
+        return det, masks
+
+    srv._call = fake_call
+    rng = np.random.RandomState(2)
+    out = srv.detect([rng.rand(64, 64, 3).astype(np.float32)])
+    # the degenerate box is dropped, the healthy one survives
+    assert out[0]["rois"].shape[0] == 1
+    assert out[0]["masks"].shape[-1] == 1

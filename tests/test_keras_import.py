@@ -228,3 +228,33 @@ def test_deconv_kernel_axes_swap(small_model, tmp_path):
         np.asarray(tree["params"]["mask_head"]["mrcnn_mask_deconv"]["kernel"]),
         flax_kernel,
     )
+
+
+def test_backbone_only_restore_with_core_exclude(small_model, tmp_path):
+    """exclude patterns that deliberately skip the rpn/head layers are a
+    legitimate transfer-learning restore (backbone only) — the loud
+    mapping-failure check must not fire for them."""
+    _, _, variables = small_model
+    path = str(tmp_path / "mrcnn_weights.h5")
+    K.write_keras_h5(K.variables_to_keras(variables), path)
+
+    cfg, _, _ = small_model
+    _, fresh = init_model(cfg, jax.random.PRNGKey(7))
+    merged, loaded, _ = K.restore_from_keras_h5(
+        fresh, path, exclude=["rpn_head", "classifier_head", "mask_head"]
+    )
+    assert not any("rpn" in n or "head" in n for n in loaded)
+    # backbone restored, head kept fresh
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["backbone"]["conv1"]["kernel"]),
+    )
+    got = np.asarray(
+        merged["params"]["classifier_head"]["mrcnn_class_logits"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        got,
+        np.asarray(
+            fresh["params"]["classifier_head"]["mrcnn_class_logits"]["kernel"]
+        ),
+    )

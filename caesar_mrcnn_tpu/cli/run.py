@@ -116,6 +116,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         help="inference ROIAlign gather buffer dtype; "
                              "'float8_e4m3fn' halves the gather bytes")
     parser.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
+    parser.add_argument(
+        "--grad_accum_steps", type=int, default=1,
+        help="average grads over k micro-batches per optimizer update "
+             "(effective batch = k * nimg_per_gpu * ngpu)",
+    )
     parser.add_argument("--learning_rate", type=float, default=0.0005)
     parser.add_argument("--trainable_layers", type=str, default="all",
                         choices=["heads", "3+", "4+", "5+", "all"])
@@ -217,6 +222,7 @@ def build_config(args) -> Config:
         image_channel_count=1 if args.grayimg else 3,
         mean_pixel=(0.0,) if args.grayimg else (0.0, 0.0, 0.0),
         optimizer=args.optimizer,
+        grad_accum_steps=args.grad_accum_steps,
         learning_rate=args.learning_rate,
         roi_gather_dtype=args.roi_gather_dtype,
         mask_loss_function=args.mask_loss_function,

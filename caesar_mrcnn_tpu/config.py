@@ -149,6 +149,13 @@ class Config:
     # (recompute in the backward, ~1 extra feature pass of FLOPs for the
     # largest activation savings); "all" also remats the two heads.
     train_remat: str = "none"
+    # Gradient accumulation (optax.MultiSteps): the optimizer averages
+    # grads over k consecutive micro-batch steps and applies ONE update,
+    # emulating an effective batch of k*batch_size on memory-limited
+    # chips (complements train_remat; the reference's only lever was
+    # shrinking IMAGES_PER_GPU, scripts/run.py:104-106). Steps-per-epoch
+    # accounting still counts micro-batches.
+    grad_accum_steps: int = 1
 
     # --- FITS preprocessing (reference: scripts/run.py:219-228) ---------------
     zscale_stretch: bool = True

@@ -98,6 +98,14 @@ def make_optimizer(config: Config, params, layers: str = "all") -> optax.Gradien
             {"train": tx, "freeze": optax.set_to_zero()},
             jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask),
         )
+    k = getattr(config, "grad_accum_steps", 1)
+    if k and k > 1:
+        # Average grads over k micro-batches, apply one update — an
+        # effective batch of k*batch_size without the activation memory
+        # (config.grad_accum_steps). Exactness for equal-size
+        # micro-batches is per-loss mean-of-means; tested in
+        # tests/test_train.py.
+        tx = optax.MultiSteps(tx, every_k_schedule=int(k))
     return tx
 
 

@@ -50,6 +50,7 @@ def test_cli_train_test_detect(workdir):
     rc = cli.main(
         ["train", "--datalist", str(workdir / "list.dat"),
          "--nepochs", "1", "--epoch_length", "2",
+         "--grad_accum_steps", "2",  # one optimizer update from 2 micro-steps
          "--logs", str(workdir / "logs"),
          "--no_augmentation"] + TINY
     )

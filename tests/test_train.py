@@ -354,3 +354,36 @@ def test_opt_state_dtype_bf16(tiny_cfg, tiny_dataset):
     batch = next(pipe.batches())
     state, losses = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_grad_accum_matches_single_step(tiny_cfg, tiny_dataset):
+    """config.grad_accum_steps=k (optax.MultiSteps): params must be
+    untouched for the first k-1 micro-steps, and after k identical
+    micro-batches the update must equal one plain step on that batch
+    (averaged grads of identical micro-batches == the single-batch
+    grads)."""
+    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1)
+    batch = next(pipe.batches())
+    rng = jax.random.PRNGKey(3)
+
+    def first_param(state):
+        return np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+
+    # plain step
+    model, variables = init_model(tiny_cfg, jax.random.PRNGKey(0))
+    state, tx = create_train_state(tiny_cfg, variables)
+    p_init = first_param(state)
+    step = make_train_step(model, tx, pipe.anchors_normalized())
+    state, _ = step(state, batch, rng)
+    p_plain = first_param(state)
+    assert np.abs(p_plain - p_init).max() > 0  # the step actually moved
+
+    # k=2 accumulated steps on the same micro-batch
+    cfg2 = tiny_cfg.replace(grad_accum_steps=2)
+    model2, variables2 = init_model(cfg2, jax.random.PRNGKey(0))
+    state2, tx2 = create_train_state(cfg2, variables2)
+    step2 = make_train_step(model2, tx2, pipe.anchors_normalized())
+    state2, _ = step2(state2, batch, rng)
+    np.testing.assert_array_equal(first_param(state2), p_init)  # held
+    state2, _ = step2(state2, batch, rng)
+    np.testing.assert_allclose(first_param(state2), p_plain, atol=1e-6)

@@ -45,7 +45,6 @@ from caesar_mrcnn_tpu.train.trainer import make_train_step  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-cfg, model, state, tx, anchors, batch = ge.build_tiny_train_problem(8)
 mesh = make_mesh()  # 8 GLOBAL devices: 4 local + 4 on the peer process
 
 
@@ -56,10 +55,12 @@ def to_global(x, spec):
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
 
-# Establish the 8-device Gloo clique NOW, while both processes are still
-# within the 30 s connect deadline of each other — the first cold compile
-# of the big train step can diverge by minutes, and the collective context
-# created here is cached and reused by the train step's reductions.
+# Establish the 8-device Gloo clique NOW, immediately after initialize()
+# (which is itself a connect barrier, so inter-process skew here is ~1 s —
+# just this trivial jit). Anything heavier first (model init used to run
+# here) can skew the two workers past Gloo's 30 s GetKeyValue deadline on
+# a contended 1-CPU host; the context created here is cached and reused
+# by the train step's reductions.
 _warm = jax.jit(
     lambda x: x.sum(),
     in_shardings=NamedSharding(mesh, P("data")),
@@ -67,7 +68,7 @@ _warm = jax.jit(
 )
 np.asarray(_warm(to_global(np.ones(8, np.float32), P("data"))))
 
-
+cfg, model, state, tx, anchors, batch = ge.build_tiny_train_problem(8)
 step = make_train_step(model, tx, anchors, mesh=mesh)
 state_g = jax.tree_util.tree_map(lambda x: to_global(x, P()), state)
 batch_g = {k: to_global(v, P("data")) for k, v in batch.items()}

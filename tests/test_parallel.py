@@ -147,7 +147,8 @@ def test_tiled_sfinder_two_processes(tmp_path):
                      extra_args=[str(tmp_path)])
 
 
-def _run_two_workers(script, tag, tmp_path, extra_args=()):
+def _spawn_two_workers_once(script, tmp_path, extra_args=()):
+    """One attempt: launch both workers, wait, return (procs, outs)."""
     import os
     import socket
     import subprocess
@@ -174,9 +175,34 @@ def _run_two_workers(script, tag, tmp_path, extra_args=()):
     # minutes (a 240s/360s bound flaked under concurrent load, the
     # VERDICT-r3 wall-clock-assert lesson).
     outs = [p.communicate(timeout=1200)[0] for p in procs]
+    return procs, outs
+
+
+def _gloo_init_timeout(procs, outs) -> bool:
+    """True when a worker died on Gloo's hard 30 s context-init deadline —
+    a host-contention artifact (the two workers reached their first
+    collective >30 s apart), not a code failure. Seen once under a
+    triple-load 1-CPU host; workers warm the clique right after
+    jax.distributed.initialize to minimize the window, and the parent
+    retries once when it still trips."""
+    return any(
+        p.returncode != 0 and "Gloo context initialization failed" in out
+        for p, out in zip(procs, outs)
+    )
+
+
+def _run_two_workers_capture(script, tag, tmp_path, extra_args=()):
+    procs, outs = _spawn_two_workers_once(script, tmp_path, extra_args)
+    if _gloo_init_timeout(procs, outs):
+        procs, outs = _spawn_two_workers_once(script, tmp_path, extra_args)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"{tag}_{i}_OK" in out
+    return outs
+
+
+def _run_two_workers(script, tag, tmp_path, extra_args=()):
+    _run_two_workers_capture(script, tag, tmp_path, extra_args)
 
 
 def test_dp_train_two_processes(tmp_path):
@@ -208,35 +234,6 @@ def test_dp_train_two_processes(tmp_path):
                              jax.random.PRNGKey(1))
         ref = float(ref_losses["total_loss"])
     assert abs(losses[0] - ref) < 1e-4, (losses[0], ref)
-
-
-def _run_two_workers_capture(script, tag, tmp_path, extra_args=()):
-    import os
-    import socket
-    import subprocess
-    import sys
-
-    with socket.socket() as s:  # free port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    worker = os.path.join(os.path.dirname(__file__), script)
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), *extra_args],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=1200)[0] for p in procs]  # hang guard only
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert f"{tag}_{i}_OK" in out
-    return outs
 
 
 def test_jaxdistcomm_two_processes(tmp_path):

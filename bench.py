@@ -192,28 +192,35 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         # producer: each chunk's tiles are prepped in the pool; chunk
         # futures are consumed in order while later chunks prep in the
         # background (the sfinder producer-thread pattern, widened).
-        # Device work is pipelined two-deep: batch k+1 dispatches before
-        # batch k is fetched and unmolded.
+        # Device work is pipelined: ``depth`` batches stay in flight, so
+        # collect(k) runs only after dispatch(k+depth) — by then batch
+        # k's compute has had ``depth`` upload+compute slots to finish,
+        # and collect degenerates to download + host unmold.
+        depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "2"))
+        from collections import deque
+
         chunk_futs = [[pool.submit(prep, t) for t in ch] for ch in chunks]
-        pending = None
+        pending = deque()
+
+        def collect_one():
+            nonlocal n_done
+            t = time.perf_counter()
+            results = det.collect(pending.popleft())
+            stages["collect"] += time.perf_counter() - t
+            n_done += len(results)
+            assert all("masks" in r for r in results)
+
         for futs in chunk_futs:
             t = time.perf_counter()
             payloads = [f.result() for f in futs]
             stages["prep_wait"] += time.perf_counter() - t
             t = time.perf_counter()
-            handle = dispatch(payloads)
+            pending.append(dispatch(payloads))
             stages["dispatch"] += time.perf_counter() - t
-            if pending is not None:
-                t = time.perf_counter()
-                results = det.collect(pending)
-                stages["collect"] += time.perf_counter() - t
-                n_done += len(results)
-                assert all("masks" in r for r in results)
-            pending = handle
-        t = time.perf_counter()
-        results = det.collect(pending)
-        stages["collect"] += time.perf_counter() - t
-        n_done += len(results)
+            if len(pending) > depth:
+                collect_one()
+        while pending:
+            collect_one()
         return n_done, stages
 
     out = {"e2e_tiles": len(tiles), "e2e_mosaic": mosaic_n,

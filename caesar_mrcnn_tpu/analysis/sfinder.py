@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -257,9 +258,10 @@ class SFinder:
                 return np.stack([u8] * 3, axis=-1)
             return payload
 
-        # Two-deep pipeline: dispatch batch k+1 to the device before
-        # fetching/post-processing batch k, so host unmold + source
-        # extraction overlap device inference.
+        # Pipelined dispatch: keep config.tile_pipeline_depth batches in
+        # flight before the first collect, so host unmold + source
+        # extraction overlap device upload+inference of later batches
+        # (measured knee at depth 2 on the dev tunnel — CLAUDE.md).
         def dispatch(chunk, items):
             kinds = {k for k, _ in items}
             if kinds == {"u8"}:
@@ -282,7 +284,8 @@ class SFinder:
                     self._tile_sources(tile_idx, tile, tiles, img, r)
                 )
 
-        pending = None
+        depth = max(0, int(getattr(cfg, "tile_pipeline_depth", 2)))
+        pending: deque = deque()
         while True:
             item = q.get()
             if item is None:
@@ -290,12 +293,11 @@ class SFinder:
             if isinstance(item, Exception):
                 raise item
             chunk, items = item
-            kind, payload = dispatch(chunk, items)
-            if pending is not None:
-                consume(*pending)
-            pending = (chunk, items, kind, payload)
-        if pending is not None:
-            consume(*pending)
+            pending.append((chunk, items) + dispatch(chunk, items))
+            if len(pending) > depth:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
 
         # gather to master over DCN (replaces pickled MPI send/recv,
         # reference: sfinder.py:940-988)

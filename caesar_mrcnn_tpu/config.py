@@ -185,6 +185,10 @@ class Config:
     # device (4x thinner fetch, invisible after the 0.5 unmold threshold);
     # "float32" ships raw probabilities.
     mask_wire_dtype: str = "uint8"
+    # tile batches kept in flight before the first collect (dispatch
+    # pipelining in SFinder.run_tiled / bench e2e). Measured knee at 2 on
+    # the dev tunnel: depth 0/1/2/3 -> 60/85/89.5/86 img/s (CLAUDE.md).
+    tile_pipeline_depth: int = 2
     max_ntasks_per_worker: int = 100
 
     # ------------------------------------------------------------------ derived

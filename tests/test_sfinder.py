@@ -124,6 +124,22 @@ def test_sfinder_tiled_merges_straddling_source(mosaic_fits, tmp_path, monkeypat
     assert len(cat["objs"]) == 2
 
 
+@pytest.mark.parametrize("depth", [0, 1, 3])
+def test_sfinder_tiled_pipeline_depth_invariant(mosaic_fits, tmp_path,
+                                                monkeypatch, depth):
+    """The dispatch pipeline depth (config.tile_pipeline_depth) is a pure
+    throughput knob: any depth must produce the identical catalog that the
+    strict-serial depth-0 path does."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, split_img_in_tiles=True, tile_pipeline_depth=depth)
+    sf = SFinder(FakeDetector(), cfg)
+    catalog = sf.run_tiled(mosaic_fits)
+    assert len(catalog["objs"]) == 2
+    merged = [o for o in catalog["objs"] if o.get("merged")]
+    assert len(merged) == 1 and merged[0]["n_merged"] == 2
+    assert merged[0]["x1"] == 120 and merged[0]["x2"] == 139
+
+
 def test_merge_edge_sources_scales_to_thousand_sources():
     """Survey-scale merge: ~10^3 edge sources must merge sub-second and
     produce exactly the groups the brute-force all-pairs sweep produces

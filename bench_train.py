@@ -117,6 +117,9 @@ def build_problem(args):
 
 def measure_steps(step, state, batch, keys, warmup=2):
     """Time len(keys)-warmup chained steps; the final loss fetch fences."""
+    if len(keys) <= warmup:
+        raise SystemExit(
+            f"--steps must exceed the warmup ({warmup}); got {len(keys)}")
     for k in keys[:warmup]:
         state, losses = step(state, batch, k)
     sync(losses["total_loss"])

@@ -181,7 +181,10 @@ class SFinder:
         import threading
 
         my_sources: List[Dict] = []
-        bs = cfg.batch_size
+        # chunk by the DETECTOR's compiled batch: build_detector may have
+        # shrunk num_devices to the locally available device count, so the
+        # SFinder-side config's batch_size can be stale/larger.
+        bs = getattr(self.detector, "config", cfg).batch_size
         chunks = [my_tiles[s : s + bs] for s in range(0, len(my_tiles), bs)]
         q: "queue.Queue" = queue.Queue(maxsize=2)
 

@@ -490,10 +490,19 @@ def build_detector(
         if avail >= config.num_devices:
             mesh = make_mesh(n_devices=config.num_devices)
         else:
+            # Shrink to the devices that exist instead of compiling the
+            # full global batch (images_per_device * num_devices) onto
+            # one chip — batch 64 on a single v5e degrades throughput
+            # superlinearly via the NMS matrices and risks HBM OOM.
             logger.warning(
                 "config.num_devices=%d but only %d local devices — "
-                "running unsharded", config.num_devices, avail,
+                "shrinking to num_devices=%d (batch %d -> %d)",
+                config.num_devices, avail, avail,
+                config.batch_size, config.images_per_device * avail,
             )
+            config = config.replace(num_devices=avail)
+            if avail > 1:
+                mesh = make_mesh(n_devices=avail)
     model, variables = init_model(config, jax.random.PRNGKey(seed))
     if weights_path:
         stored = load_checkpoint(weights_path)

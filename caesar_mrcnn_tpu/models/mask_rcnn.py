@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import logger
 from ..config import Config
 from ..ops.roi_align import multilevel_roi_align_batched
 from .backbone import FPN, ResNet
@@ -316,7 +317,12 @@ def forward_train(
     if remat not in ("none", "backbone", "all"):
         raise ValueError(f"unknown train_remat {remat!r}")
     if train_bn and remat != "none":
-        remat = "none"  # mutable batch_stats can't thread through checkpoint
+        logger.warning(
+            "train_remat=%r is ignored with train_bn=True (mutable "
+            "batch_stats can't thread through jax.checkpoint) — "
+            "running without rematerialization", remat,
+        )
+        remat = "none"
 
     def ckpt(method):
         """jax.checkpoint'd module apply: recompute activations in bwd.

@@ -84,13 +84,15 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak (TPU v5e datasheet)
 def detect_conv_specs(cfg, n_cls_rois: Optional[int] = None,
                       n_mask_rois: Optional[int] = None):
     """Yield every conv/matmul of the inference graph as
-    ``(stage, n_sites, h_out, w_out, c_out, k, c_in, h_in, w_in)`` —
+    ``(stage, n_sites, h_out, w_out, c_out, k, c_in, h_in, w_in, weight_k)`` —
     ``n_sites`` is the number of spatial instances per image (1 for
     backbone/FPN/RPN convs, the ROI count for head layers); ``h_in/w_in``
     are the input spatial dims the site actually reads (differs from the
     output dims for strided convs, the VALID pxp fc1 "conv", and the
-    deconv). Single source of truth for :func:`detect_flops` and
-    :func:`detect_roofline`."""
+    deconv); ``weight_k`` is the kernel edge of the stored weight tensor
+    (== ``k`` everywhere except the 2x2 deconv, whose FLOP convention is
+    one tap per output, k=1). Single source of truth for
+    :func:`detect_flops` and :func:`detect_roofline`."""
     h, w, c_in = cfg.image_shape
     tdps = cfg.top_down_pyramid_size
 
@@ -103,7 +105,7 @@ def detect_conv_specs(cfg, n_cls_rois: Optional[int] = None,
     )
     n4 = 2 if custom else {"resnet50": 6, "resnet101": 23}[cfg.backbone]
     # stem 7x7/2 (models/backbone.py stage 1; reference: mrcnn/model.py:185)
-    yield ("backbone", 1, h // 2, w // 2, stem_f, 7, c_in, h, w)
+    yield ("backbone", 1, h // 2, w // 2, stem_f, 7, c_in, h, w, 7)
     n_blocks_per_stage = [3, 4, n4, 3]
     prev_c = stem_f
     for stage, ((f1, f2, f3), n_blocks) in enumerate(
@@ -119,48 +121,48 @@ def detect_conv_specs(cfg, n_cls_rois: Optional[int] = None,
         for b in range(n_blocks):
             cin = prev_c if b == 0 else f3
             ih, iw = (ih0, iw0) if b == 0 else (hh, ww)
-            yield ("backbone", 1, hh, ww, f1, 1, cin, ih, iw)
-            yield ("backbone", 1, hh, ww, f2, 3, f1, hh, ww)
-            yield ("backbone", 1, hh, ww, f3, 1, f2, hh, ww)
+            yield ("backbone", 1, hh, ww, f1, 1, cin, ih, iw, 1)
+            yield ("backbone", 1, hh, ww, f2, 3, f1, hh, ww, 3)
+            yield ("backbone", 1, hh, ww, f3, 1, f2, hh, ww, 1)
             if b == 0:  # projection shortcut
-                yield ("backbone", 1, hh, ww, f3, 1, cin, ih, iw)
+                yield ("backbone", 1, hh, ww, f3, 1, cin, ih, iw, 1)
         prev_c = f3
     c_levels = [wset[2] for wset in widths]
 
     # FPN lateral 1x1 + output 3x3 per P2-P5 (reference: model.py:2003-2026)
     for lvl, cl in zip((4, 8, 16, 32), c_levels):
         hh, ww = h // lvl, w // lvl
-        yield ("fpn", 1, hh, ww, tdps, 1, cl, hh, ww)
-        yield ("fpn", 1, hh, ww, tdps, 3, tdps, hh, ww)
+        yield ("fpn", 1, hh, ww, tdps, 1, cl, hh, ww, 1)
+        yield ("fpn", 1, hh, ww, tdps, 3, tdps, hh, ww, 3)
 
     # RPN over P2-P6: shared 3x3/512 + two 1x1 heads (models/rpn.py)
     a = len(cfg.rpn_anchor_ratios)
     for s in cfg.backbone_strides:
         hh, ww = -(-h // s), -(-w // s)
-        yield ("rpn", 1, hh, ww, 512, 3, tdps, hh, ww)
-        yield ("rpn", 1, hh, ww, 2 * a + 4 * a, 1, 512, hh, ww)
+        yield ("rpn", 1, hh, ww, 512, 3, tdps, hh, ww, 3)
+        yield ("rpn", 1, hh, ww, 2 * a + 4 * a, 1, 512, hh, ww, 1)
 
     # classifier head on pooled 7x7 ROIs (reference: model.py:986-1039)
     n_cls = n_cls_rois if n_cls_rois is not None else cfg.post_nms_rois_inference
     fc = cfg.fpn_classif_fc_layers_size
     p = cfg.pool_size
-    yield ("classifier", n_cls, 1, 1, fc, p, tdps, p, p)  # fc1 == VALID pxp conv
-    yield ("classifier", n_cls, 1, 1, fc, 1, fc, 1, 1)    # fc2
-    yield ("classifier", n_cls, 1, 1, cfg.num_classes, 1, fc, 1, 1)
-    yield ("classifier", n_cls, 1, 1, 4 * cfg.num_classes, 1, fc, 1, 1)
+    yield ("classifier", n_cls, 1, 1, fc, p, tdps, p, p, p)  # fc1 == VALID pxp conv
+    yield ("classifier", n_cls, 1, 1, fc, 1, fc, 1, 1, 1)    # fc2
+    yield ("classifier", n_cls, 1, 1, cfg.num_classes, 1, fc, 1, 1, 1)
+    yield ("classifier", n_cls, 1, 1, 4 * cfg.num_classes, 1, fc, 1, 1, 1)
 
     # mask head on pooled 14x14 ROIs (reference: model.py:1042-1091)
     n_mask = n_mask_rois if n_mask_rois is not None else cfg.detection_max_instances
     mp = cfg.mask_pool_size
     for _ in range(4):
-        yield ("mask", n_mask, mp, mp, tdps, 3, tdps, mp, mp)
+        yield ("mask", n_mask, mp, mp, tdps, 3, tdps, mp, mp, 3)
     # 2x2/2 transposed conv: kernel==stride, so every output element
     # receives exactly ONE input tap -> MACs = h_out*w_out*cin*cout
     # (k^2 would overcount 4x; XLA cost analysis agrees within 8%).
     # It reads the mp-grid input, not the 2mp output grid.
-    yield ("mask", n_mask, 2 * mp, 2 * mp, tdps, 1, tdps, mp, mp)  # deconv
+    yield ("mask", n_mask, 2 * mp, 2 * mp, tdps, 1, tdps, mp, mp, 2)  # deconv
     yield ("mask", n_mask, 2 * mp, 2 * mp, cfg.num_classes, 1, tdps,
-           2 * mp, 2 * mp)
+           2 * mp, 2 * mp, 1)
 
 
 def detect_flops(cfg, n_cls_rois: Optional[int] = None,
@@ -173,7 +175,7 @@ def detect_flops(cfg, n_cls_rois: Optional[int] = None,
     is byte- not FLOP-bound and is deliberately excluded.
     """
     f: Dict[str, float] = {}
-    for stage, n, hh, ww, cout, k, cin, _ih, _iw in detect_conv_specs(
+    for stage, n, hh, ww, cout, k, cin, _ih, _iw, _wk in detect_conv_specs(
         cfg, n_cls_rois, n_mask_rois
     ):
         f[stage] = f.get(stage, 0.0) + n * 2.0 * hh * ww * cout * k * k * cin
@@ -203,14 +205,14 @@ def detect_roofline(cfg, batch: int,
     """
     ebytes = 2.0 if cfg.compute_dtype == "bfloat16" else 4.0
     stages: Dict[str, Dict] = {}
-    for stage, n, hh, ww, cout, k, cin, ih, iw in detect_conv_specs(cfg):
+    for stage, n, hh, ww, cout, k, cin, ih, iw, wk in detect_conv_specs(cfg):
         s = stages.setdefault(stage, {"flops": 0.0, "act_bytes": 0.0,
                                       "weight_bytes": 0.0})
         s["flops"] += n * 2.0 * hh * ww * cout * k * k * cin
         # input read (the spec's true input grid; kxk stride-1 halo
         # re-reads are fused by XLA and charged once) + output write
         s["act_bytes"] += n * ebytes * (hh * ww * cout + ih * iw * cin)
-        s["weight_bytes"] += ebytes * k * k * cin * cout
+        s["weight_bytes"] += ebytes * wk * wk * cin * cout
     out: Dict[str, Dict] = {}
     for stage, s in stages.items():
         flops_b = s["flops"] * batch

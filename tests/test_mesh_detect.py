@@ -163,3 +163,20 @@ def test_sharded_raw_wire_matches_serial(detector_pair):
         np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
         np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
         np.testing.assert_allclose(a["rois"], b["rois"], atol=1)
+
+
+def test_build_detector_shrinks_to_available_devices():
+    """config.num_devices > local devices must shrink the detector to the
+    devices that exist (keeping images_per_device), NOT compile the full
+    global batch unsharded on one chip — `detect --ngpu 16` on this
+    8-device host would otherwise run batch 32 on a single device."""
+    cfg = tiny_cfg(num_devices=2 * N_DEV, images_per_device=2)
+    assert cfg.batch_size == 4 * N_DEV
+    det = build_detector(cfg)
+    assert det.config.num_devices == N_DEV
+    assert det.config.batch_size == 2 * N_DEV
+    assert det.mesh is not None and det.mesh.devices.size == N_DEV
+    # and the detector actually serves its (shrunk) batch
+    h, w, _ = det.config.image_shape
+    imgs = [np.zeros((h, w, 3), np.uint8)] * det.config.batch_size
+    assert len(det.detect(imgs)) == det.config.batch_size

@@ -126,6 +126,14 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         choices=["heads", "3+", "4+", "5+", "all"])
     parser.add_argument("--weight_classes", action="store_true", default=False)
     parser.add_argument("--exclude_first_layer_weights", action="store_true", default=False)
+    parser.add_argument(
+        "--exclude_layers", type=str, default="",
+        help="comma-separated layer-name patterns to skip when restoring "
+        "--weights (reference load_weights exclude=[...], "
+        "mrcnn/model.py:2197-2239 — e.g. the COCO head set "
+        "'mrcnn_class_logits,mrcnn_bbox_fc,mrcnn_bbox,mrcnn_mask' used by "
+        "scripts/train_all.py:475-488)",
+    )
     parser.add_argument("--no_augmentation", dest="use_augmentation",
                         action="store_false", default=True)
 
@@ -323,6 +331,15 @@ def create_test_dataset(args, cfg: Config):
 # --------------------------------------------------------------- run modes
 
 
+def _exclude_patterns(args) -> Optional[List[str]]:
+    """Layer-name exclusion list for --weights restore (reference
+    load_weights exclude semantics, mrcnn/model.py:2197-2239)."""
+    patterns = [p.strip() for p in args.exclude_layers.split(",") if p.strip()]
+    if args.exclude_first_layer_weights:
+        patterns.append("conv1")
+    return patterns or None
+
+
 def run_train(args, cfg: Config) -> int:
     """(reference: scripts/run.py:1052-1125 + model.train)."""
     import jax
@@ -355,9 +372,9 @@ def run_train(args, cfg: Config) -> int:
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     start_epoch = 0
     if args.weights:
-        stored = CKPT.load_checkpoint(args.weights)
-        exclude = ["conv1"] if args.exclude_first_layer_weights else None
-        variables, _, _ = CKPT.partial_restore(variables, stored, exclude=exclude)
+        variables, _, _ = CKPT.restore_weights(
+            variables, args.weights, exclude=_exclude_patterns(args)
+        )
         start_epoch = CKPT.epoch_from_path(args.weights)
 
     state, tx = create_train_state(cfg, variables, layers=args.trainable_layers)
@@ -438,8 +455,9 @@ def _build_detector(args, cfg: Config):
         images_per_device=max(1, args.nimg_per_gpu),
         num_devices=max(1, args.ngpu),
     )
-    exclude = ["conv1"] if args.exclude_first_layer_weights else None
-    return build_detector(icfg, weights_path=args.weights, exclude=exclude)
+    return build_detector(
+        icfg, weights_path=args.weights, exclude=_exclude_patterns(args)
+    )
 
 
 def run_test(args, cfg: Config) -> int:

@@ -481,7 +481,7 @@ def build_detector(
     batch across all of them (reference ParallelModel wiring:
     mrcnn/model.py:2161-2165)."""
     from ..models.mask_rcnn import init_model
-    from ..train.checkpoints import load_checkpoint, partial_restore
+    from ..train.checkpoints import restore_weights
 
     if mesh is None and config.num_devices > 1:
         from ..parallel.mesh import make_mesh
@@ -505,6 +505,5 @@ def build_detector(
                 mesh = make_mesh(n_devices=avail)
     model, variables = init_model(config, jax.random.PRNGKey(seed))
     if weights_path:
-        stored = load_checkpoint(weights_path)
-        variables, _, _ = partial_restore(variables, stored, exclude=exclude)
+        variables, _, _ = restore_weights(variables, weights_path, exclude=exclude)
     return Detector(config, model, variables, mesh=mesh)

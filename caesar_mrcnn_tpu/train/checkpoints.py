@@ -44,6 +44,27 @@ def load_checkpoint(path: str) -> Dict:
     return ckptr.restore(os.path.abspath(path))
 
 
+def restore_weights(
+    variables: Dict, path: str, exclude: Optional[Sequence[str]] = None
+) -> Tuple[Dict, List[str], List[str]]:
+    """Restore weights into an initialized tree from either an orbax
+    checkpoint directory or a reference-format Keras ``.h5`` file.
+
+    The reference's ``load_weights(filepath, by_name=True, exclude=...)``
+    accepts the published ``.h5`` artifacts directly (reference:
+    mrcnn/model.py:2197-2239, used at scripts/run.py:1737-1740 and
+    scripts/train_all.py:475-488) — this is the equivalent single entry
+    point behind every ``--weights`` CLI flag. Returns
+    ``(merged_variables, loaded_names, skipped_names)``.
+    """
+    if path.endswith((".h5", ".hdf5")):
+        from .keras_import import restore_from_keras_h5
+
+        return restore_from_keras_h5(variables, path, exclude=exclude)
+    stored = load_checkpoint(path)
+    return partial_restore(variables, stored, exclude=exclude)
+
+
 def find_last(ckpt_dir: str) -> Optional[str]:
     """Newest checkpoint in a run dir (reference: mrcnn/model.py:2168-2195)."""
     if not os.path.isdir(ckpt_dir):

@@ -258,3 +258,33 @@ def test_backbone_only_restore_with_core_exclude(small_model, tmp_path):
             fresh["params"]["classifier_head"]["mrcnn_class_logits"]["kernel"]
         ),
     )
+
+
+def test_restore_weights_dispatches_h5_and_orbax(small_model, tmp_path):
+    """The single --weights entry point accepts BOTH formats the reference
+    CLI accepts: a Keras .h5 blob (mrcnn/model.py:2197-2239) and a native
+    checkpoint directory."""
+    from caesar_mrcnn_tpu.train.checkpoints import (
+        restore_weights,
+        save_checkpoint,
+    )
+
+    cfg, _, variables = small_model
+    h5_path = str(tmp_path / "weights.h5")
+    K.write_keras_h5(K.variables_to_keras(variables), h5_path)
+    ckpt_path = save_checkpoint(str(tmp_path), "tiny", 3, variables)
+
+    _, fresh = init_model(cfg, jax.random.PRNGKey(123))
+    for path in (h5_path, ckpt_path):
+        merged, _, _ = restore_weights(fresh, path)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables),
+            jax.tree_util.tree_leaves(merged),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exclude list reaches both backends
+    merged2, _, _ = restore_weights(fresh, h5_path, exclude=["conv1"])
+    np.testing.assert_array_equal(
+        np.asarray(merged2["params"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(fresh["params"]["backbone"]["conv1"]["kernel"]),
+    )

@@ -64,6 +64,9 @@ def build_detector(batch: int, size: int, n_devices: int = 1):
         images_per_device=batch,
         num_devices=n_devices,
         compute_dtype="bfloat16",
+        # BENCH_QUANT=int8 measures the post-training-quantized detect
+        # graph (int8 MXU path, models/heads_int8.py); default exact bf16.
+        quant_mode=os.environ.get("BENCH_QUANT", "none") or "none",
     )
     return bd(cfg)  # auto-shards over a local mesh when n_devices > 1
 
@@ -79,7 +82,7 @@ def measure_device(det, batch: int, size: int) -> float:
     cfg = det.config
     h, w, c = cfg.image_shape
     rng = np.random.RandomState(0)
-    images = det._put_batch(rng.rand(batch, h, w, c).astype(np.float32))
+    images_np = rng.rand(batch, h, w, c).astype(np.float32)
     meta = np.stack(
         [
             compose_image_meta(
@@ -88,8 +91,10 @@ def measure_device(det, batch: int, size: int) -> float:
             for i in range(batch)
         ]
     ).astype(np.float32)
-    metas = det._put_batch(meta)
     anchors_np = get_anchors(cfg)
+    det._maybe_autoquant(images_np, meta, anchors_np)  # BENCH_QUANT=int8
+    images = det._put_batch(images_np)
+    metas = det._put_batch(meta)
     anchors = (
         jax.device_put(anchors_np, det._rep) if det.mesh is not None
         else jnp.asarray(anchors_np)
@@ -370,6 +375,8 @@ def main() -> None:
     }
     if ndev > 1:
         rec["img_per_sec_total"] = round(global_ips, 2)
+    if getattr(det.config, "quant_mode", "none") != "none":
+        rec["quant_mode"] = det.config.quant_mode
     # MFU accounting (VERDICT r2 item 9): analytic conv/matmul FLOPs of the
     # detect graph per image vs v5e bf16 peak.
     from caesar_mrcnn_tpu.train.observability import (

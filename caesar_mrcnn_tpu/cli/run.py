@@ -115,6 +115,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--roi_gather_dtype", type=str, default="none",
                         help="inference ROIAlign gather buffer dtype; "
                              "'float8_e4m3fn' halves the gather bytes")
+    parser.add_argument("--quant_mode", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="post-training quantization of the detect "
+                             "graph: 'int8' runs the conv stages on the "
+                             "TPU int8 MXU path, calibrated on the first "
+                             "batch (inference commands only)")
     parser.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
     parser.add_argument(
         "--grad_accum_steps", type=int, default=1,
@@ -233,6 +239,7 @@ def build_config(args) -> Config:
         grad_accum_steps=args.grad_accum_steps,
         learning_rate=args.learning_rate,
         roi_gather_dtype=args.roi_gather_dtype,
+        quant_mode=args.quant_mode,
         mask_loss_function=args.mask_loss_function,
         loss_weights={
             "rpn_class_loss": args.rpn_class_loss_weight,

@@ -136,6 +136,15 @@ class Config:
     # "float8_e4m3fn" halves the HBM bytes of the bytes-bound pyramid
     # gather). Training always gathers exact.
     roi_gather_dtype: str = "none"
+    # Post-training quantization of the detect graph ("none" | "int8").
+    # "int8" runs every conv/matmul-heavy inference stage (backbone, FPN,
+    # RPN shared conv, classifier fc1/fc2, mask-head 3x3 stack) with int8
+    # weights+activations on the TPU int8 MXU path (v5e: 394 TOPS vs 197
+    # bf16 TFLOPS; measured 1.4-2.7x per stage, scripts/quant_probe.py).
+    # The Detector calibrates activation scales on its first batch (or via
+    # Detector.quantize(calib_images)). Inference-only; training and the
+    # box/score numerics (RPN 1x1 heads, dense heads, deconv) stay exact.
+    quant_mode: str = "none"
     # Run the RPN objectness+delta 1x1 convs as one fused matmul over
     # concatenated output channels (identical math and param tree; halves
     # shared-map reads). Perf lever, see CLAUDE.md ledger.

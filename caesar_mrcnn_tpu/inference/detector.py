@@ -60,21 +60,71 @@ class Detector:
             self._data = batch_sharding(mesh)
         else:
             self._rep = self._data = None
+        self._stages = None  # int8 stage overrides after quantize()
         self.variables = variables  # property: device-resident
-        if mesh is None:
-            self._fn = make_inference_fn(model)
-        else:
-            from ..models.mask_rcnn import forward_inference
-
-            self._fn = jax.jit(
-                lambda v, im, me, an: forward_inference(model, v, im, me, an),
-                in_shardings=(self._rep, self._data, self._data, self._rep),
-                out_shardings=self._data,
-            )
+        self._fn = self._build_fn()
         self._premold = None  # lazily-jitted device-side mold for tiles
         self._premold_raw = None  # device-side full preprocessing chain
         self._tile_fns = {}  # wire -> fused jitted (premold + forward + pack)
         self._tile_consts = {}  # (h, w, bs) -> device-resident (metas, anchors)
+
+    def _build_fn(self):
+        """Compile the detect step for the current stage overrides."""
+        if self.mesh is None:
+            return make_inference_fn(self.model, stages=self._stages)
+        from ..models.mask_rcnn import forward_inference
+
+        model, stages = self.model, self._stages
+        return jax.jit(
+            lambda v, im, me, an: forward_inference(
+                model, v, im, me, an, stages=stages
+            ),
+            in_shardings=(self._rep, self._data, self._data, self._rep),
+            out_shardings=self._data,
+        )
+
+    # ------------------------------------------------------- quantization
+    def quantize(self, calib_images: Sequence[np.ndarray]) -> None:
+        """Post-training int8 quantization of the detect graph.
+
+        Folds frozen BN, calibrates per-tensor activation scales on
+        ``calib_images`` (host images; molded exactly like :meth:`detect`
+        inputs), quantizes weights per-out-channel, and recompiles the
+        detect/tile graphs with the int8 stages
+        (models/heads_int8.py). Idempotent per weight set; call again
+        after loading new weights.
+        """
+        molded, metas, _ = self.mold_inputs(calib_images)
+        anchors = get_anchors(self.config, molded[0].shape)
+        self._quantize_molded(molded, metas, anchors)
+
+    def _quantize_molded(self, molded, metas, anchors) -> None:
+        from ..models import heads_int8 as Q
+
+        cfg = self.config
+        host_vars = jax.device_get(self._variables)
+        host_vars.pop("quant", None)
+        qtree = Q.build_detect_qtree(
+            self.model, host_vars, cfg, molded, metas, np.asarray(anchors)
+        )
+        self._stages = Q.int8_stages(cfg)
+        self.variables = {**host_vars, "quant": qtree}
+        self._fn = self._build_fn()
+        self._tile_fns = {}
+        logger.info(
+            "detect graph quantized: int8 weights+activations at %d conv "
+            "sites (config.quant_mode)", len(qtree),
+        )
+
+    def _maybe_autoquant(self, molded, metas, anchors) -> None:
+        """First-batch auto-calibration when ``config.quant_mode='int8'``."""
+        if (
+            getattr(self.config, "quant_mode", "none") == "int8"
+            and self._stages is None
+        ):
+            self._quantize_molded(
+                np.asarray(molded, np.float32), np.asarray(metas), anchors
+            )
 
     def _put_batch(self, x):
         """Host batch array -> device, batch-sharded when on a mesh."""
@@ -97,6 +147,13 @@ class Detector:
             self._variables = jax.device_put(value, self._rep)
         else:
             self._variables = jax.device_put(value)
+        if self._stages is not None and "quant" not in value:
+            # Fresh (unquantized) weights invalidate the int8 graph; drop
+            # back to the exact path until quantize() is called again.
+            logger.info("new weights loaded — int8 detect graph reset")
+            self._stages = None
+            self._fn = self._build_fn()
+            self._tile_fns = {}
 
     # ----------------------------------------------------------- molding
     def mold_inputs(self, images: Sequence[np.ndarray]):
@@ -249,12 +306,15 @@ class Detector:
 
             cfg = self.config
             model = self.model
+            stages = self._stages
             pack = cfg.mask_wire_dtype == "uint8"
             premold_u8 = self._make_premold_u8()
             premold_raw = self._make_premold_raw()
 
             def run(variables, molded, metas, anchors):
-                out = forward_inference(model, variables, molded, metas, anchors)
+                out = forward_inference(
+                    model, variables, molded, metas, anchors, stages=stages
+                )
                 if not pack:
                     return out
                 b, d = out.detections.shape[:2]
@@ -319,6 +379,29 @@ class Detector:
         masks = buf[:, :, 24:].reshape(b, d, mh, -1)
         return detections, masks
 
+    def _autoquant_tiles(self, molded_like: np.ndarray) -> None:
+        """Auto-calibrate the int8 graph from a tile batch.
+
+        ``molded_like``: [B, H, W] or [B, H, W, C] HOST pixels already in
+        the network's molded range (the same math the device premold
+        applies). Broadcasts grayscale to the model channels and subtracts
+        the mean, then runs the standard calibration."""
+        cfg = self.config
+        if getattr(cfg, "quant_mode", "none") != "int8" or self._stages is not None:
+            return
+        x = np.asarray(molded_like, np.float32)
+        if x.ndim == 3:
+            x = np.repeat(x[..., None], cfg.image_channel_count, axis=-1)
+        x = x - np.asarray(cfg.mean_pixel, np.float32)
+        h, w = x.shape[1:3]
+        c = cfg.image_channel_count
+        meta = compose_image_meta(
+            0, (h, w, c), (h, w, c), (0, 0, h, w), 1.0,
+            np.zeros(cfg.num_classes),
+        )
+        metas = np.tile(meta.astype(np.float32), (x.shape[0], 1))
+        self._quantize_molded(x, metas, get_anchors(cfg, (h, w, c)))
+
     def dispatch_tiles_raw(self, raw: np.ndarray, limits: np.ndarray):
         """Async-dispatch detection on RAW float32 tiles with host-fitted
         zscale limits; all per-pixel preprocessing runs on-device.
@@ -337,6 +420,18 @@ class Detector:
         )
         assert n_in <= bs, f"dispatch_tiles_raw got {n_in} tiles, batch_size={bs}"
         limits = np.asarray(limits, dtype=np.float32).reshape(n_in, 2)
+        if getattr(cfg, "quant_mode", "none") == "int8" and self._stages is None:
+            # Host replica of _make_premold_raw's zscale->u8 chain, only to
+            # build the one-time calibration batch.
+            x = np.asarray(raw, np.float32).copy()
+            for i in range(n_in):
+                fin = np.isfinite(x[i])
+                x[i][~fin] = x[i][fin].min() if fin.any() else 0.0
+            lo = limits[:, 0][:, None, None]
+            span = limits[:, 1][:, None, None] - lo
+            x = np.where(span > 0, (x - lo) / np.where(span > 0, span, 1.0), 0.0)
+            x = np.round(np.clip(x, 0.0, 1.0) * 255.0)
+            self._autoquant_tiles(x)
         if n_in < bs:
             raw = np.concatenate([raw, np.repeat(raw[-1:], bs - n_in, axis=0)])
             limits = np.concatenate(
@@ -370,6 +465,7 @@ class Detector:
             f"tiles {tiles.shape[1:3]} != compiled input {(h, w)}"
         )
         assert n_in <= bs, f"dispatch_tiles got {n_in} tiles, batch_size={bs}"
+        self._autoquant_tiles(tiles[:n_in])
         if n_in < bs:
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], bs - n_in, axis=0)]
@@ -437,6 +533,7 @@ class Detector:
 
         image_shape = molded[0].shape
         anchors_np = get_anchors(cfg, image_shape)
+        self._maybe_autoquant(molded, metas, anchors_np)
         anchors = (
             jax.device_put(anchors_np, self._rep)
             if self.mesh is not None

@@ -63,9 +63,11 @@ def export_detector(detector, path: str) -> None:
     anchors = jnp.asarray(get_anchors(cfg))
     variables = jax.device_get(detector.variables)  # host constants
 
+    stages = getattr(detector, "_stages", None)  # int8 graph exports as-is
+
     def fn(images):
         out = forward_inference(
-            detector.model, variables, images, metas, anchors
+            detector.model, variables, images, metas, anchors, stages=stages
         )
         return out.detections, out.masks
 
@@ -84,6 +86,7 @@ def export_detector(detector, path: str) -> None:
         "mean_pixel": list(cfg.mean_pixel),
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
+        "quant_mode": "int8" if stages is not None else "none",
     }
     with open(path + ".json", "w") as f:
         json.dump(sidecar, f, indent=2)

@@ -90,6 +90,45 @@ def _walk_resnet(
 # ------------------------------------------------------------------ folding
 
 
+def fold_conv_bn(conv_p, bn_p, bn_s, eps: float = _BN_EPS):
+    """Fold a frozen BatchNorm into the preceding conv's ``(w, b)``.
+
+    w' = w * gamma / sqrt(var + eps)
+    b' = gamma * (conv_bias - mean) / sqrt(var + eps) + beta
+    Exact for frozen BN (running stats, no update) — the production
+    inference configuration (reference: mrcnn/config.py:216 TRAIN_BN=False).
+    """
+    w = np.asarray(conv_p["kernel"], np.float32)
+    cb = np.asarray(conv_p.get("bias", np.zeros(w.shape[-1])), np.float32)
+    gamma = np.asarray(bn_p["scale"], np.float32)
+    beta = np.asarray(bn_p["bias"], np.float32)
+    mean = np.asarray(bn_s["mean"], np.float32)
+    var = np.asarray(bn_s["var"], np.float32)
+    inv = gamma / np.sqrt(var + eps)
+    return w * inv, (cb - mean) * inv + beta
+
+
+def quantize_conv(
+    w: np.ndarray, b: np.ndarray, s_in: float
+) -> Dict[str, np.ndarray]:
+    """Per-out-channel symmetric int8 weights for one conv.
+
+    Returns {w: int8 [k,k,cin,cout], sw: f32 [cout] (weight scale x input
+    scale, i.e. the int32->f32 dequant factor), b: f32 [cout], s_in: f32
+    scalar (input quantize scale)}.
+    """
+    s_in = np.float32(s_in)
+    wmax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)  # [cout]
+    sw = (wmax / 127.0).astype(np.float32)
+    wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    return {
+        "w": wq,
+        "sw": (sw * s_in).astype(np.float32),
+        "b": np.asarray(b, np.float32),
+        "s_in": s_in,
+    }
+
+
 def fold_bn(variables: Dict, architecture: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Fold frozen BatchNorm into each backbone conv.
 
@@ -105,16 +144,7 @@ def fold_bn(variables: Dict, architecture: str) -> Dict[str, Tuple[np.ndarray, n
     """
     params = variables["params"].get("backbone", variables["params"])
     stats = variables["batch_stats"].get("backbone", variables["batch_stats"])
-
-    def fold(conv_p, bn_p, bn_s):
-        w = np.asarray(conv_p["kernel"], np.float32)
-        cb = np.asarray(conv_p.get("bias", np.zeros(w.shape[-1])), np.float32)
-        gamma = np.asarray(bn_p["scale"], np.float32)
-        beta = np.asarray(bn_p["bias"], np.float32)
-        mean = np.asarray(bn_s["mean"], np.float32)
-        var = np.asarray(bn_s["var"], np.float32)
-        inv = gamma / np.sqrt(var + _BN_EPS)
-        return w * inv, (cb - mean) * inv + beta
+    fold = fold_conv_bn
 
     out = {
         "conv1": fold(
@@ -214,19 +244,10 @@ def quantize(
     input scale, i.e. the int32->f32 dequant factor), b: f32 [cout],
     s_in: f32 scalar (input quantize scale)}.
     """
-    qtree: Dict[str, Dict[str, np.ndarray]] = {}
-    for name, (w, b) in folded.items():
-        s_in = np.float32(act_scales[name])
-        wmax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)  # [cout]
-        sw = (wmax / 127.0).astype(np.float32)
-        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
-        qtree[name] = {
-            "w": wq,
-            "sw": (sw * s_in).astype(np.float32),
-            "b": b.astype(np.float32),
-            "s_in": s_in,
-        }
-    return qtree
+    return {
+        name: quantize_conv(w, b, act_scales[name])
+        for name, (w, b) in folded.items()
+    }
 
 
 # ------------------------------------------------------------ int8 forward

@@ -161,12 +161,37 @@ def forward_inference(
     images: jnp.ndarray,
     image_metas: jnp.ndarray,
     anchors: jnp.ndarray,
+    stages: "Dict[str, callable] | None" = None,
 ) -> InferenceOutput:
     """Full detect graph (reference inference build:
-    mrcnn/model.py:2134-2159 + detect: mrcnn/model.py:2623-2694)."""
+    mrcnn/model.py:2134-2159 + detect: mrcnn/model.py:2623-2694).
+
+    ``stages`` optionally overrides the trainable-stage implementations with
+    callables ``fn(variables, *stage_inputs)`` under keys ``features``
+    (images -> P2..P6), ``rpn`` (pyramid -> logits/probs/deltas),
+    ``classifier`` and ``mask`` (pooled -> head outputs) — used by the
+    post-training int8 serving path (models/heads_int8.py), which swaps the
+    conv arithmetic while this orchestration (proposals, ROIAlign,
+    refinement, mask select, wire packing) stays the single source of truth.
+    """
     cfg = model.config
-    pyramid = model.apply(variables, images, False, method=MaskRCNN.features)
-    _, rpn_probs, rpn_bbox = model.apply(variables, pyramid, method=MaskRCNN.rpn)
+    stages = stages or {}
+    features_fn = stages.get("features") or (
+        lambda v, im: model.apply(v, im, False, method=MaskRCNN.features)
+    )
+    rpn_fn = stages.get("rpn") or (
+        lambda v, pyr: model.apply(v, pyr, method=MaskRCNN.rpn)
+    )
+    classifier_fn = stages.get("classifier") or (
+        lambda v, pooled: model.apply(
+            v, pooled, False, method=MaskRCNN.classifier
+        )
+    )
+    mask_fn = stages.get("mask") or (
+        lambda v, pooled: model.apply(v, pooled, False, method=MaskRCNN.mask)
+    )
+    pyramid = features_fn(variables, images)
+    _, rpn_probs, rpn_bbox = rpn_fn(variables, pyramid)
 
     proposals, _ = generate_proposals(
         rpn_probs,
@@ -183,7 +208,7 @@ def forward_inference(
     pooled = pyramid_roi_align_batched(
         pyramid, proposals, image_shape, cfg.pool_size, gather_dtype=gdt
     )
-    _, probs, deltas = model.apply(variables, pooled, False, method=MaskRCNN.classifier)
+    _, probs, deltas = classifier_fn(variables, pooled)
 
     meta = parse_image_meta_jax(image_metas)
     # Window in normalized coordinates (reference: mrcnn/model.py:892-895).
@@ -209,7 +234,7 @@ def forward_inference(
     mask_pooled = pyramid_roi_align_batched(
         pyramid, det_boxes, image_shape, cfg.mask_pool_size, gather_dtype=gdt
     )
-    mrcnn_mask = model.apply(variables, mask_pooled, False, method=MaskRCNN.mask)
+    mrcnn_mask = mask_fn(variables, mask_pooled)
     # Select the detected class's mask channel per detection.
     det_class = detections[..., 4].astype(jnp.int32)  # [B, D]
     masks = jnp.take_along_axis(
@@ -225,12 +250,14 @@ def forward_inference(
     return InferenceOutput(detections, masks, proposals, rpn_probs)
 
 
-def make_inference_fn(model: MaskRCNN):
-    """jit-compiled detect step."""
+def make_inference_fn(model: MaskRCNN, stages=None):
+    """jit-compiled detect step (``stages``: see :func:`forward_inference`)."""
 
     @jax.jit
     def fn(variables, images, image_metas, anchors):
-        return forward_inference(model, variables, images, image_metas, anchors)
+        return forward_inference(
+            model, variables, images, image_metas, anchors, stages=stages
+        )
 
     return fn
 

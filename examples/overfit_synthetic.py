@@ -130,6 +130,41 @@ def main(steps=150):
         n_det += len(good)
     assert final_loss < first_loss, "loss did not decrease"
     print("OK" if n_det else "WARNING: no detections emerged yet (train longer)")
+
+    # int8 quality gate on the TRAINED weights (config.quant_mode): the
+    # quantized detect graph must RECALL the same GT sources as the exact
+    # one. (Detection-set matching is the wrong gate here: a 150-250-step
+    # model emits stacks of duplicate borderline boxes per source and NMS
+    # reshuffles them under tiny perturbations — measured stage-level int8
+    # error is only 3-7% rel-L2, see scripts/quant_diag.py.)
+    qdet = Detector(
+        icfg.replace(quant_mode="int8"), det.model, jax.device_get(det.variables)
+    )
+
+    def iou(a, b):
+        yy1, xx1 = max(a[0], b[0]), max(a[1], b[1])
+        yy2, xx2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0, yy2 - yy1) * max(0, xx2 - xx1)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    rec_f = rec_q = n_gt = 0
+    for img_id in range(6):
+        img = ds.load_image(img_id)
+        rf = det.detect([img])[0]
+        rq = qdet.detect([img])[0]
+        gt_mask, _ = ds.load_mask(img_id)
+        for k in range(gt_mask.shape[-1]):
+            ys, xs = np.where(gt_mask[..., k])
+            g = (ys.min(), xs.min(), ys.max(), xs.max())
+            n_gt += 1
+            rec_f += any(iou(g, b) > 0.3 for b in rf["rois"])
+            rec_q += any(iou(g, b) > 0.3 for b in rq["rois"])
+    print(f"GT recall on trained weights: f32 {rec_f}/{n_gt}, int8 {rec_q}/{n_gt}")
+    assert rec_q >= rec_f - 1, (
+        f"int8 graph lost GT recall: {rec_q}/{n_gt} vs f32 {rec_f}/{n_gt}"
+    )
     return 0
 
 

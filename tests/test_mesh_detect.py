@@ -180,3 +180,32 @@ def test_build_detector_shrinks_to_available_devices():
     h, w, _ = det.config.image_shape
     imgs = [np.zeros((h, w, 3), np.uint8)] * det.config.batch_size
     assert len(det.detect(imgs)) == det.config.batch_size
+
+
+def test_sharded_int8_detect_matches_serial(tmp_path):
+    """quant_mode='int8': the auto-calibrated quantized graph sharded over
+    the 8-device mesh == the serial quantized graph (same weights, same
+    calibration batch => identical scales => identical int8 arithmetic)."""
+    cfg_mesh = inference_config(
+        tiny_cfg(quant_mode="int8"), num_devices=N_DEV, images_per_device=1
+    )
+    cfg_serial = inference_config(
+        tiny_cfg(quant_mode="int8"), num_devices=1, images_per_device=N_DEV
+    )
+    model, variables = init_model(cfg_mesh, jax.random.PRNGKey(0))
+    variables = stabilize(variables)
+    det_mesh = build_detector(cfg_mesh)
+    det_mesh.variables = variables
+    det_serial = Detector(cfg_serial, model, variables)
+
+    h, w, c = cfg_mesh.image_shape
+    rng = np.random.RandomState(3)
+    images = [rng.rand(h, w, c).astype(np.float32) * 255 for _ in range(N_DEV)]
+    rm = det_mesh.detect(images)
+    rs = det_serial.detect(images)
+    assert det_mesh._stages is not None and det_serial._stages is not None
+    assert len(rm) == len(rs) == N_DEV
+    for a, b in zip(rm, rs):
+        np.testing.assert_array_equal(a["class_ids"], b["class_ids"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["rois"], b["rois"], atol=1)

@@ -44,10 +44,29 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError as e:
         logger.debug("native load failed: %s", e)
         return None
+    if not hasattr(lib, "rpn_anchor_stats"):
+        # Stale .so from an older source revision: rebuild (the Makefile
+        # recompiles when fastops.cpp is newer) and reload once.
+        del lib
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:  # noqa: BLE001
+            logger.debug("native reload failed: %s", e)
+            return None
+        if not hasattr(lib, "rpn_anchor_stats"):
+            return None
     lib.iou_matrix.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.rpn_anchor_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.zscale_limits.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
@@ -101,6 +120,38 @@ def iou_matrix(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def rpn_anchor_stats(
+    anchors: np.ndarray, gt: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Single-pass anchor<->GT stats for RPN target building.
+
+    Returns ``(anchor_iou_max [A] f32, anchor_iou_argmax [A] i32,
+    tie [A] bool)`` where ``tie`` marks the best-anchor-per-GT positive
+    set including exact ties (reference: mrcnn/model.py:1583-1595).
+    IoU is computed in f32 (vs the f64 numpy oracle: max diff ~1e-7,
+    safely inside the 0.3/0.7 match thresholds; tie equality is
+    self-consistent because cells and column maxima come from the same
+    f32 values). Returns None when the native library is unavailable
+    (callers keep their numpy path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    anchors = np.ascontiguousarray(anchors, dtype=np.float32)
+    gt = np.ascontiguousarray(gt, dtype=np.float32)
+    a = anchors.shape[0]
+    amax = np.empty((a,), dtype=np.float32)
+    aarg = np.empty((a,), dtype=np.int32)
+    tie = np.empty((a,), dtype=np.uint8)
+    lib.rpn_anchor_stats(
+        _fptr(anchors), a, _fptr(gt), gt.shape[0],
+        _fptr(amax),
+        aarg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(tie),
+    )
+    return amax, aarg, tie.view(bool)
 
 
 def zscale_limits(

@@ -52,3 +52,40 @@ def test_native_mask_ops():
     assert N.mask_iou(m1, m3) == 0.0
     # agree with the python implementation
     assert N.masks_connected(m1, m2) == M.are_masks_connected(m1, m2)
+
+
+def test_native_rpn_anchor_stats_matches_oracle():
+    """Single-pass kernel vs the iou_matrix + numpy argmax/max/tie path."""
+    rng = np.random.RandomState(3)
+    anchors = rng.rand(900, 4) * 200
+    anchors[:, 2:] = anchors[:, :2] + rng.rand(900, 2) * 60 + 1
+    for g in (1, 2, 7, 33):
+        gt = rng.rand(g, 4).astype(np.float32) * 150
+        gt[:, 2:] = gt[:, :2] + rng.rand(g, 2).astype(np.float32) * 50 + 2
+        ov = N.iou_matrix(anchors, gt)
+        amax, aarg, tie = N.rpn_anchor_stats(anchors, gt)
+        assert amax.dtype == np.float32 and aarg.dtype == np.int32
+        np.testing.assert_allclose(amax, ov.max(axis=1), atol=1e-6)
+        # f32 vs f64 argmax can differ only on near-exact ties
+        diff = aarg != np.argmax(ov, axis=1)
+        if diff.any():
+            np.testing.assert_allclose(
+                ov[np.arange(len(ov)), aarg][diff], ov.max(axis=1)[diff], atol=1e-6
+            )
+        gmax = ov.max(axis=0)
+        tie_ref = ((ov == gmax) & (gmax > 0)).any(axis=1)
+        # tie sets agree except anchors within f32 rounding of the column max
+        mism = np.flatnonzero(tie != tie_ref)
+        for i in mism:
+            assert np.any(np.abs(ov[i] - gmax) < 1e-6)
+        # every GT with any overlap keeps at least one tied (best) anchor
+        cover = np.zeros(g, bool)
+        for j in range(g):
+            cover[j] = (gmax[j] == 0) or np.any(tie & (np.abs(ov[:, j] - gmax[j]) < 1e-6))
+        assert cover.all()
+
+
+def test_native_rpn_anchor_stats_empty_gt():
+    anchors = np.array([[0, 0, 4, 4], [2, 2, 8, 8]], np.float32)
+    amax, aarg, tie = N.rpn_anchor_stats(anchors, np.zeros((0, 4), np.float32))
+    assert (amax == 0).all() and (aarg == 0).all() and (~tie).all()

@@ -163,3 +163,50 @@ def test_rpn_targets_zero_overlap_gt_no_positive_blast():
     # all positive deltas point at the REAL box: finite and moderate
     assert np.isfinite(deltas[pos]).all()
     assert np.abs(deltas[pos]).max() < 10.0
+
+
+def test_rand_subset_exact_unique_uniform():
+    """_rand_subset: exact size, unique, in-range; roughly uniform."""
+    from caesar_mrcnn_tpu.models.targets import _rand_subset
+
+    rng = np.random.RandomState(5)
+    for n, k in ((16000, 250), (100, 90), (8, 8), (50, 0), (10000, 2499)):
+        s = _rand_subset(rng, n, k)
+        assert len(s) == k == len(np.unique(s))
+        if k:
+            assert s.min() >= 0 and s.max() < n
+    # uniformity smoke: each element's inclusion frequency ~ k/n
+    n, k, trials = 40, 10, 4000
+    counts = np.zeros(n)
+    for _ in range(trials):
+        counts[_rand_subset(rng, n, k)] += 1
+    freq = counts / trials
+    assert np.all(np.abs(freq - k / n) < 0.05)
+
+
+def test_rpn_targets_native_matches_numpy_fallback():
+    """Native single-pass stats path vs the numpy oracle path: identical
+    match/delta outputs given the same RNG (up to f32-rounding tie picks)."""
+    from caesar_mrcnn_tpu import native
+    from caesar_mrcnn_tpu.models import targets as T
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("libfastops not built")
+    cfg = _cfg()
+    anchors = _anchors(cfg)
+    rng = np.random.RandomState(11)
+    gt_boxes = np.array(
+        [[10, 10, 40, 44], [60, 62, 100, 96], [30, 90, 55, 120]], np.float32
+    )
+    gt_ids = np.array([1, 2, 1], np.int32)
+    m1, d1 = T.build_rpn_targets(anchors, gt_ids, gt_boxes, cfg, np.random.RandomState(3))
+    stats_fn = native.rpn_anchor_stats
+    try:
+        native.rpn_anchor_stats = lambda *a, **k: None  # force numpy path
+        m2, d2 = T.build_rpn_targets(anchors, gt_ids, gt_boxes, cfg, np.random.RandomState(3))
+    finally:
+        native.rpn_anchor_stats = stats_fn
+    assert np.array_equal(m1, m2)
+    np.testing.assert_allclose(d1, d2, atol=1e-5)

@@ -121,6 +121,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                              "graph: 'int8' runs the conv stages on the "
                              "TPU int8 MXU path, calibrated on the first "
                              "batch (inference commands only)")
+    parser.add_argument("--train_wire", type=str, default="compact",
+                        choices=["compact", "dense"],
+                        help="host->device training batch format: 'compact' "
+                             "ships sparse RPN targets, bit-packed masks and "
+                             "mono images (~7x fewer bytes, reconstructed on "
+                             "device); 'dense' ships device-shaped arrays")
     parser.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
     parser.add_argument(
         "--grad_accum_steps", type=int, default=1,
@@ -240,6 +246,7 @@ def build_config(args) -> Config:
         learning_rate=args.learning_rate,
         roi_gather_dtype=args.roi_gather_dtype,
         quant_mode=args.quant_mode,
+        train_wire=args.train_wire,
         mask_loss_function=args.mask_loss_function,
         loss_weights={
             "rpn_class_loss": args.rpn_class_loss_weight,

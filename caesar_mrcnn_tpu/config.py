@@ -165,6 +165,18 @@ class Config:
     # shrinking IMAGES_PER_GPU, scripts/run.py:104-106). Steps-per-epoch
     # accounting still counts micro-batches.
     grad_accum_steps: int = 1
+    # Host->device wire format for training batches. "compact" (default):
+    # RPN targets ride as positive/negative anchor-index lists + per-
+    # positive deltas (instead of dense [A] match / [A,4] f32 deltas that
+    # are ~99% zeros), GT masks ride bit-packed, and replicated-channel
+    # RGB images ride one channel; trainer.mold_batch reconstructs the
+    # dense tensors on device (fused into the step by XLA). ~7x fewer
+    # bytes per batch (6.3 -> 0.9 MB at 256^2 b8 mini-mask) — matters on
+    # slow host links and scales down the per-upload host-memory leak of
+    # the dev tunnel (CLAUDE.md). "dense" ships device-shaped arrays;
+    # mold_batch auto-detects by key, so externally built dense batches
+    # always work.
+    train_wire: str = "compact"
 
     # --- FITS preprocessing (reference: scripts/run.py:219-228) ---------------
     zscale_stretch: bool = True

@@ -132,19 +132,62 @@ def create_train_state(
 # --------------------------------------------------------------- train step
 
 
+def _unpackbits(packed: jnp.ndarray, count: int) -> jnp.ndarray:
+    """np.packbits inverse (big-endian bit order) for on-device mask
+    reconstruction; jnp has no unpackbits."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :count]
+
+
 def mold_batch(batch: Dict, cfg: Config) -> Dict:
-    """Device-side molding of the thin wire format (see
-    generator.make_sample): cast images to f32 and subtract the pixel mean
-    (reference mold_image: mrcnn/model.py:2964-2969), widen uint8 masks and
-    int8 rpn_match. Runs inside jit, so the casts fuse with the first
-    consumers; already-molded float batches pass through unchanged when
-    ``mean_pixel`` is zero (every radio config here)."""
+    """Device-side molding of the wire formats (see generator.make_sample
+    and config.train_wire): cast images to f32 and subtract the pixel mean
+    (reference mold_image: mrcnn/model.py:2964-2969), and for the compact
+    wire reconstruct dense RPN targets (scatter of positive/negative index
+    lists; out-of-range pads drop), unpack bit-packed GT masks, and
+    broadcast mono images back to the configured channel count. Runs
+    inside jit, so everything fuses with the first consumers. Dense
+    batches (externally built) are detected by key and pass through the
+    legacy casts."""
     b = dict(batch)
-    b["images"] = batch["images"].astype(jnp.float32) - jnp.asarray(
+    images = batch["images"]
+    if images.shape[-1] == 1 and cfg.image_shape[2] != 1:
+        images = jnp.broadcast_to(images, images.shape[:-1] + (cfg.image_shape[2],))
+    b["images"] = images.astype(jnp.float32) - jnp.asarray(
         cfg.mean_pixel, jnp.float32
     )
-    b["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
-    b["rpn_match"] = batch["rpn_match"].astype(jnp.int32)
+    if "rpn_pos_idx" in batch:
+        from ..utils.anchors import get_anchors
+
+        a = get_anchors(cfg).shape[0]
+        pos, neg = batch["rpn_pos_idx"], batch["rpn_neg_idx"]
+
+        def scatter_match(p, n):
+            m = jnp.zeros((a,), jnp.int32)
+            m = m.at[n].set(-1, mode="drop")
+            return m.at[p].set(1, mode="drop")
+
+        def scatter_deltas(p, v):
+            return jnp.zeros((a, 4), jnp.float32).at[p].set(v, mode="drop")
+
+        b["rpn_match"] = jax.vmap(scatter_match)(pos, neg)
+        b["rpn_deltas"] = jax.vmap(scatter_deltas)(pos, batch["rpn_pos_deltas"])
+        del b["rpn_pos_idx"], b["rpn_neg_idx"], b["rpn_pos_deltas"]
+    else:
+        b["rpn_match"] = batch["rpn_match"].astype(jnp.int32)
+    if "gt_masks_packed" in batch:
+        mh, mw = (
+            tuple(cfg.mini_mask_shape)
+            if cfg.use_mini_mask
+            else tuple(cfg.image_shape[:2])
+        )
+        g = cfg.max_gt_instances
+        bits = _unpackbits(batch["gt_masks_packed"], mh * mw * g)
+        b["gt_masks"] = bits.reshape(bits.shape[:-1] + (mh, mw, g)).astype(jnp.float32)
+        del b["gt_masks_packed"]
+    else:
+        b["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
     return b
 
 

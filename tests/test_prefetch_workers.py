@@ -39,9 +39,11 @@ def test_multiworker_prefetch(tmp_path):
     it = pipe.prefetch(device_put=False)
     batches = [next(it) for _ in range(4)]
     for b in batches:
-        assert b["images"].shape == (2, 64, 64, 3)
+        # compact wire (the default): mono image channel, sparse RPN targets
+        assert b["images"].shape == (2, 64, 64, 1)
         assert (b["gt_class_ids"] > 0).sum() == 2  # one GT per image
-        assert np.isfinite(b["rpn_deltas"]).all()
+        assert np.isfinite(b["rpn_pos_deltas"]).all()
+        assert b["rpn_pos_idx"].dtype == np.int32
 
 
 def test_sample_cache_identity_and_eviction(tmp_path):

@@ -74,11 +74,14 @@ def tiny_dataset(tmp_path_factory, tiny_cfg):
 
 
 def test_pipeline_shapes(tiny_cfg, tiny_dataset):
-    pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=1, augmentation=True)
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, train_wire="dense")
+    pipe = TrainingPipeline(tiny_dataset, cfg, seed=1, augmentation=True)
     batch = next(pipe.batches())
-    b = tiny_cfg.batch_size
+    b = cfg.batch_size
     a = pipe.anchors.shape[0]
-    g = tiny_cfg.max_gt_instances
+    g = cfg.max_gt_instances
     assert batch["images"].shape == (b, 64, 64, 3)
     assert batch["rpn_match"].shape == (b, a)
     assert batch["rpn_deltas"].shape == (b, a, 4)
@@ -90,6 +93,34 @@ def test_pipeline_shapes(tiny_cfg, tiny_dataset):
     assert (batch["gt_class_ids"] > 0).sum() == b
     # normalized gt boxes
     assert batch["gt_boxes"].max() <= 1.0
+
+
+def test_compact_wire_molds_identical_to_dense(tiny_cfg, tiny_dataset):
+    """config.train_wire="compact" (sparse RPN targets, bit-packed masks,
+    mono images) must reconstruct bit-identical molded batches."""
+    import dataclasses
+
+    from caesar_mrcnn_tpu.train.trainer import mold_batch
+
+    dense_pipe = TrainingPipeline(
+        tiny_dataset, dataclasses.replace(tiny_cfg, train_wire="dense"),
+        seed=3, augmentation=True,
+    )
+    compact_pipe = TrainingPipeline(tiny_dataset, tiny_cfg, seed=3, augmentation=True)
+    assert tiny_cfg.train_wire == "compact"  # the default
+    db = next(dense_pipe.batches())
+    cb = next(compact_pipe.batches())
+    # wire is actually thinner
+    assert compact_pipe._mono_wire and cb["images"].shape[-1] == 1
+    assert "rpn_deltas" not in cb and "gt_masks" not in cb
+    dense_bytes = sum(v.nbytes for v in db.values())
+    compact_bytes = sum(v.nbytes for v in cb.values())
+    assert compact_bytes < dense_bytes / 3
+    md = jax.device_get(mold_batch({k: jax.numpy.asarray(v) for k, v in db.items()}, tiny_cfg))
+    mc = jax.device_get(mold_batch({k: jax.numpy.asarray(v) for k, v in cb.items()}, tiny_cfg))
+    assert set(md) == set(mc)
+    for k in md:
+        np.testing.assert_array_equal(md[k], mc[k], err_msg=k)
 
 
 def test_train_step_reduces_loss(tiny_cfg, tiny_dataset):

@@ -152,13 +152,13 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     from caesar_mrcnn_tpu.utils import fits as F
     from caesar_mrcnn_tpu.utils.tiles import generate_tiles
 
-    # Scale the mosaic to the global batch: >=4 full batches per pass so
-    # the two-deep pipeline reaches steady state (a single-chunk pass
-    # spends itself in warmup/flush AND pads dead tiles into the compiled
-    # batch, mis-measuring exactly the multi-device hosts the sharded
-    # detector targets). 1-device default (batch 16) keeps the historic
-    # 4096^2 / 64-tile mosaic.
-    tiles_per_side = max(8, math.isqrt(max(0, 4 * batch - 1)) + 1)
+    # Scale the mosaic to the global batch: >=8 full batches per pass so
+    # the pipelined steady state dominates the drain tail (with depth 2,
+    # the last 2 chunks collect with nothing left to overlap — at the old
+    # 4-chunk pass that tail was ~1/3 of the measurement; r4's driver
+    # capture under-read the pipeline partly for this reason). 1-device
+    # default (batch 16): 12x12 tiles = 9 chunks per pass.
+    tiles_per_side = max(12, math.isqrt(max(0, 8 * batch - 1)) + 1)
     mosaic_n = tiles_per_side * size
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     path = os.path.join(tmp, "mosaic.fits")
@@ -167,13 +167,22 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     tiles = generate_tiles(0, mosaic_n, 0, mosaic_n, size, size)  # step 1.0
     chunks = [tiles[s : s + batch] for s in range(0, len(tiles), batch)]
 
+    prep_cpu = [0.0]  # worker-side host CPU seconds (1-CPU host: this
+    # contends with dispatch/unmold on the main thread — see host ceiling)
+
     def prep_u8(tile):
         x1, x2, y1, y2 = tile
-        return F.read_tile_u8(path, x1, x2, y1, y2)
+        t = time.perf_counter()
+        out = F.read_tile_u8(path, x1, x2, y1, y2)
+        prep_cpu[0] += time.perf_counter() - t
+        return out
 
     def prep_raw(tile):
         x1, x2, y1, y2 = tile
-        return F.read_tile_raw(path, x1, x2, y1, y2)
+        t = time.perf_counter()
+        out = F.read_tile_raw(path, x1, x2, y1, y2)
+        prep_cpu[0] += time.perf_counter() - t
+        return out
 
     def dispatch_u8(payloads):
         return det.dispatch_tiles(np.stack(payloads))
@@ -190,9 +199,14 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         main-thread stage seconds). The stage split attributes the pass
         wall time: ``prep_wait`` = blocked on host tile reads the pool
         hadn't finished, ``dispatch`` = device_put + async call issue,
-        ``collect`` = device fetch + host unmold of the previous batch."""
+        ``fetch`` = blocked on the device queue + download (channel/device
+        wait — NOT host CPU), ``unmold`` = host mask-paste CPU,
+        ``prep_cpu`` = worker-side read+zscale CPU (overlapped, but on a
+        1-CPU host it contends with every other host stage)."""
         n_done = 0
-        stages = {"prep_wait": 0.0, "dispatch": 0.0, "collect": 0.0}
+        stages = {"prep_wait": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                  "unmold": 0.0, "prep_cpu": 0.0}
+        prep_cpu[0] = 0.0
         # producer: each chunk's tiles are prepped in the pool; chunk
         # futures are consumed in order while later chunks prep in the
         # background (the sfinder producer-thread pattern, widened).
@@ -213,8 +227,11 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         def collect_one():
             nonlocal n_done
             t = time.perf_counter()
-            results = det.collect(pending.popleft())
-            stages["collect"] += time.perf_counter() - t
+            fetched = det.fetch(pending.popleft())
+            t2 = time.perf_counter()
+            stages["fetch"] += t2 - t
+            results = det.unmold_fetched(fetched)
+            stages["unmold"] += time.perf_counter() - t2
             n_done += len(results)
             assert all("masks" in r for r in results)
 
@@ -229,6 +246,7 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
                 collect_one()
         while pending:
             collect_one()
+        stages["prep_cpu"] = prep_cpu[0]
         return n_done, stages
 
     out = {"e2e_tiles": len(tiles), "e2e_mosaic": mosaic_n,
@@ -276,11 +294,66 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
             best = max(range(len(rates)), key=rates.__getitem__)
             out[f"e2e_{name}_img_per_sec"] = round(rates[best], 2)
             out[f"e2e_{name}_pass_img_per_sec"] = [round(r, 2) for r in rates]
+            st = stage_list[best]
             out[f"e2e_{name}_stage_ms"] = {
-                k: round(v * 1e3, 1) for k, v in stage_list[best].items()
+                k: round(v * 1e3, 1) for k, v in st.items()
             }
+            # ---- self-explanation (VERDICT r4 item 1): which ceiling binds
+            # host ceiling: total host CPU seconds in the best pass (worker
+            # prep + dispatch + unmold — on a 1-CPU host these serialize
+            # with each other AND with the tunnel client's serialization
+            # thread; ncpus is reported so multi-CPU hosts can be read
+            # correctly).
+            host_sec = st["prep_cpu"] + st["dispatch"] + st["unmold"]
+            out[f"e2e_{name}_host_ceiling_img_per_sec"] = round(
+                n / host_sec, 1) if host_sec > 0 else None
+            pass_sec = n / rates[best]
+            # implied in-run channel+device rate: pass time not spent in
+            # host stages on the main thread (fetch + prep_wait are waits)
+            wait_sec = max(pass_sec - st["dispatch"] - st["unmold"], 1e-9)
+            bpp = wire_bytes_per_px[name]
+            out[f"e2e_{name}_inrun_channel_MBps"] = round(
+                n * size * size * bpp / wait_sec / 1e6, 1)
+    out["e2e_ncpus"] = os.cpu_count()
+    # post-pass channel re-probe: the pre-probe is measured on an idle
+    # host; a lower post number quantifies tunnel-bandwidth drift/contention
+    bws = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf = jax.device_put(probe)
+        _ = np.asarray(buf[:1])
+        bws.append(probe.nbytes / (time.perf_counter() - t0))
+    out["e2e_channel_MBps_post"] = round(max(bws) / 1e6, 1)
+    # device-only ceiling of the SAME fused tile graph (u8 premold +
+    # forward + pack) on device-resident input — no channel, no host
+    tiles0 = np.zeros((batch, size, size), np.uint8)
+    metas_c, anchors_c = det._tile_constants(size, size,
+                                             det.config.image_shape[2], batch)
+    dev_tiles = jax.device_put(tiles0)
+    tile_fn = det._tile_fn("u8")
+    o = tile_fn(det.variables, dev_tiles, metas_c, anchors_c)
+    _ = np.asarray(o)[:1, :1, :1]
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = tile_fn(det.variables, dev_tiles, metas_c, anchors_c)
+    _ = np.asarray(o)[:1, :1, :1]
+    dev_rate = batch * 10 / (time.perf_counter() - t0)
+    out["e2e_device_ceiling_img_per_sec"] = round(dev_rate, 1)
     default = det.config.tile_wire if det.config.tile_wire in modes else "u8"
     out["e2e_img_per_sec"] = out[f"e2e_{default}_img_per_sec"]
+    # binding ceiling for the default wire + explained fraction
+    ceilings = {
+        "host_cpu": out.get(f"e2e_{default}_host_ceiling_img_per_sec"),
+        "channel": out.get(f"e2e_{default}_channel_ceiling_img_per_sec"),
+        "device": out.get("e2e_device_ceiling_img_per_sec"),
+    }
+    ceilings = {k: v for k, v in ceilings.items() if v}
+    if ceilings:
+        bound = min(ceilings, key=ceilings.get)
+        out["e2e_bound"] = bound
+        out["e2e_bound_ceiling_img_per_sec"] = ceilings[bound]
+        out["e2e_explained_frac"] = round(
+            out["e2e_img_per_sec"] / ceilings[bound], 3)
     return out
 
 

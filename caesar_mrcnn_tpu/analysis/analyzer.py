@@ -52,6 +52,12 @@ class Analyzer:
 
         # post-processing knobs (reference defaults: mrcnn/analyze.py:600-720)
         self.score_thr = config.score_thr
+        # per-class overrides (config.score_thr_per_class; absent classes
+        # fall back to self.score_thr — which stays mutable for callers
+        # like SClassifier that override the global threshold)
+        self.score_thr_per_class = dict(
+            getattr(config, "score_thr_per_class", ()) or ()
+        )
         self.iou_thr = config.iou_thr
         self.split_masks = True
         self.merge_overlapped_masks = True
@@ -100,11 +106,20 @@ class Analyzer:
         self.scores_final = []
         self.bboxes = []
 
-        # 1. score threshold (reference: mrcnn/analyze.py:1174-1199)
+        # 1. score threshold, per-class-capable (reference single global
+        # threshold: mrcnn/analyze.py:1174-1199 + analyze.py:1744)
+        def _thr(cid: int) -> float:
+            name = (
+                self.class_names[cid]
+                if cid < len(self.class_names)
+                else str(cid)
+            )
+            return self.score_thr_per_class.get(name, self.score_thr)
+
         sel = [
             (masks[:, :, i].astype(np.uint8), int(class_ids[i]), float(scores[i]))
             for i in range(masks.shape[-1])
-            if scores[i] >= self.score_thr
+            if scores[i] >= _thr(int(class_ids[i]))
         ]
         # 2. sort by descending score
         sel.sort(key=lambda t: -t[2])

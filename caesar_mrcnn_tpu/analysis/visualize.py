@@ -140,11 +140,15 @@ def display_instances(
     ax=None,
     show_mask: bool = True,
     show_bbox: bool = True,
+    show_mask_polygon: bool = True,
     colors=None,
     captions=None,
     outfile: Optional[str] = None,
 ):
-    """Overlay boxes/masks/labels (reference: visualize.py:83-168)."""
+    """Overlay boxes/masks/labels, plus per-instance mask contour
+    outlines when ``show_mask_polygon`` (reference draws contour Polygons
+    from a 1px-padded mask, visualize.py:156-167; here cv2.findContours
+    replaces skimage.find_contours)."""
     n = boxes.shape[0]
     if ax is None:
         fig, ax = plt.subplots(1, figsize=figsize)
@@ -182,6 +186,25 @@ def display_instances(
         ax.text(x1, y1 + 8, caption, color="w", size=11, backgroundcolor="none")
         if show_mask and masks is not None and masks.shape[-1] > i:
             canvas = apply_mask(canvas, masks[:, :, i], color, alpha=0.5)
+        if show_mask_polygon and masks is not None and masks.shape[-1] > i:
+            import cv2
+
+            # pad 1px so border-touching masks still close their contour
+            # (reference: visualize.py:158-160)
+            padded = np.zeros(
+                (masks.shape[0] + 2, masks.shape[1] + 2), np.uint8
+            )
+            padded[1:-1, 1:-1] = masks[:, :, i].astype(np.uint8)
+            contours, _ = cv2.findContours(
+                padded, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE
+            )
+            for cnt in contours:
+                verts = cnt.reshape(-1, 2).astype(np.float32) - 1  # unpad
+                ax.add_patch(
+                    patches.Polygon(
+                        verts, fill=False, edgecolor=color, linewidth=1.2
+                    )
+                )
     ax.imshow(canvas.astype(np.uint8))
     if outfile:
         fig.savefig(outfile, bbox_inches="tight", dpi=120)

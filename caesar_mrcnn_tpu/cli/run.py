@@ -151,6 +151,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
     # TEST OPTIONS (reference: scripts/run.py:1355-1361)
     parser.add_argument("--scoreThr", type=float, default=0.7)
+    parser.add_argument(
+        "--scoreThrPerClass", default="sidelobe=0.9",
+        help="per-class score-threshold overrides 'name=thr[,name=thr...]' "
+        "(default: sidelobe at its measured F1 knee); 'none' restores the "
+        "reference's single global --scoreThr",
+    )
     parser.add_argument("--iouThr", type=float, default=0.6)
     # Parity-with-a-bug: the reference parses this flag and sets it on the
     # dataset but nothing ever reads it (reference: scripts/run.py:1022);
@@ -208,6 +214,22 @@ def validate_args(args) -> int:
 
 
 # ------------------------------------------------------------------ config
+
+
+def _parse_score_thr_per_class(spec: str):
+    """'name=thr[,name=thr...]' -> ((name, thr), ...); '', 'none' -> ()."""
+    spec = (spec or "").strip()
+    if not spec or spec.lower() == "none":
+        return ()
+    out = []
+    for item in spec.split(","):
+        name, _, thr = item.partition("=")
+        if not _ or not name.strip():
+            raise SystemExit(
+                f"--scoreThrPerClass: bad item {item!r} (want name=thr)"
+            )
+        out.append((name.strip(), float(thr)))
+    return tuple(out)
 
 
 def build_config(args) -> Config:
@@ -271,6 +293,7 @@ def build_config(args) -> Config:
         img_bias=args.bias,
         img_contrast=args.contrast,
         score_thr=args.scoreThr,
+        score_thr_per_class=_parse_score_thr_per_class(args.scoreThrPerClass),
         iou_thr=args.iouThr,
         split_img_in_tiles=args.split_img_in_tiles,
         tile_xsize=args.tile_xsize,

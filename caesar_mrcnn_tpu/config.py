@@ -191,6 +191,13 @@ class Config:
     # --- detection post-processing (reference: scripts/run.py:231-232) -------
     iou_thr: float = 0.6
     score_thr: float = 0.7
+    # Per-class score-threshold overrides ((class_name, thr), ...); classes
+    # absent fall back to the global ``score_thr``. Default pins the
+    # sidelobe class at its measured F1 knee (QUALITY_r04 operating-curve
+    # sweep: at the global 0.7 point sidelobe reliability was 0.611; the
+    # per-class sweep knee sits at 0.9). ``()`` restores the reference's
+    # single global threshold (reference: mrcnn/analyze.py:1744).
+    score_thr_per_class: Tuple[Tuple[str, float], ...] = (("sidelobe", 0.9),)
 
     # --- tiled inference (reference: scripts/run.py:235-239) ---------------
     split_img_in_tiles: bool = False
@@ -233,6 +240,11 @@ class Config:
         """Length of the packed image-meta vector
         (reference: mrcnn/config.py:239)."""
         return 1 + 3 + 3 + 4 + 1 + self.num_classes
+
+    def class_score_thr(self, class_name: str) -> float:
+        """Operating score threshold for one class: the per-class override
+        when present, else the global ``score_thr``."""
+        return dict(self.score_thr_per_class).get(class_name, self.score_thr)
 
     @property
     def backbone_shapes(self) -> np.ndarray:

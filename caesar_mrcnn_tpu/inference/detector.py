@@ -497,10 +497,17 @@ class Detector:
             self._tile_consts[key] = (metas, anchors)
         return self._tile_consts[key]
 
-    def collect(self, handle) -> List[Dict]:
-        """Fetch + unmold a :meth:`dispatch_tiles` batch."""
+    def fetch(self, handle):
+        """Device->host fetch half of :meth:`collect` (blocks on the device
+        queue + download). Split out so pipeline benchmarks can attribute
+        channel/device wait separately from host unmold CPU."""
         out, n_in, shape = handle
         detections, masks = self._unpack(out)
+        return detections, masks, n_in, shape
+
+    def unmold_fetched(self, fetched) -> List[Dict]:
+        """Host-CPU unmold half of :meth:`collect` (no device I/O)."""
+        detections, masks, n_in, shape = fetched
         window = (0, 0, shape[0], shape[1])
         results = []
         for i in range(n_in):
@@ -512,6 +519,10 @@ class Detector:
                  "masks": full_masks}
             )
         return results
+
+    def collect(self, handle) -> List[Dict]:
+        """Fetch + unmold a :meth:`dispatch_tiles` batch."""
+        return self.unmold_fetched(self.fetch(handle))
 
     def detect_tiles(self, tiles: np.ndarray) -> List[Dict]:
         """Synchronous tiled fast path (dispatch + collect)."""

@@ -4,9 +4,10 @@ bench_train.py measures the device step with a device-resident batch; this
 script measures what a real run sees: samples produced by the threaded
 TrainingPipeline, shipped over the host->device wire (config.train_wire:
 "compact" index/bit-packed tensors vs "dense" f32/u8 — see
-trainer.mold_batch), and consumed by the jitted train step. The loss fetch
-per step mirrors train_loop's metrics logging, so the number is the honest
-steps/s of `cli/run.py train` at steady state.
+trainer.mold_batch), and consumed by the jitted train step. A per-step loss
+fetch fences each step (conservative: train_loop itself only fetches every
+log_every=50 steps), so the number slightly understates the steady-state
+steps/s of `cli/run.py train`.
 
 Reference hot loop: mrcnn/model.py:2487-2499 (fit_generator with worker
 pool); the wire has no reference analogue — TF feeds host tensors — but on
@@ -83,7 +84,10 @@ def main() -> None:
     wire_bytes = sum(v.nbytes for v in host_batch.values())
 
     if args.producer_only:
-        it = pipeline.batches(args.batch)
+        # threaded producer (prefetch with num_workers), device_put skipped
+        # — matches the producer the e2e path actually runs, not the serial
+        # batches() iterator
+        it = pipeline.prefetch(args.batch, device_put=False)
         for _ in range(args.warmup):
             next(it)
         t0 = time.perf_counter()
@@ -95,6 +99,7 @@ def main() -> None:
             "s_per_step": round(dt / args.steps, 4),
             "img_per_sec": round(args.batch * args.steps / dt, 1),
             "wire_MB_per_step": round(wire_bytes / 1e6, 3),
+            "nthreads": args.nthreads,
         }))
         return
 
@@ -105,6 +110,8 @@ def main() -> None:
     batches = pipeline.prefetch()
     rng = jax.random.PRNGKey(42)
 
+    if args.warmup < 1:
+        p.error("--warmup must be >= 1 (the first step compiles)")
     for _ in range(args.warmup):  # compile + queue fill
         rng, sub = jax.random.split(rng)
         state, losses = step(state, next(batches), sub)
@@ -114,9 +121,11 @@ def main() -> None:
     for _ in range(args.steps):
         rng, sub = jax.random.split(rng)
         state, losses = step(state, next(batches), sub)
-        # per-step loss fetch = what train_loop's logging costs; it also
-        # fences, so the timing is honest on the axon platform where
-        # block_until_ready does not fence (CLAUDE.md).
+        # Per-step loss fetch: a conservative timing choice, not train_loop
+        # parity (train_loop fetches losses only every log_every=50 steps).
+        # It fences every step — honest on the axon platform where
+        # block_until_ready does not fence (CLAUDE.md) — at the cost of a
+        # ~6 ms tunnel round-trip that mildly understates the steady rate.
         float(losses["total_loss"])
     dt = time.perf_counter() - t0
 

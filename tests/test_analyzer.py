@@ -140,3 +140,34 @@ def test_json_results_and_regions(tmp_path):
     an.write_regions(out)
     content = open(out).read()
     assert "polygon(" in content and "tag={source}" in content
+
+
+def test_per_class_score_threshold():
+    """config.score_thr_per_class overrides the global threshold for the
+    named class only (the sidelobe F1-knee operating point; reference has
+    a single global threshold, mrcnn/analyze.py:1744)."""
+    cfg = detector_config(
+        num_classes=4, class_names=CLASS_NAMES, score_thr=0.5,
+        score_thr_per_class=(("sidelobe", 0.9),),
+    )
+    assert cfg.class_score_thr("sidelobe") == 0.9
+    assert cfg.class_score_thr("source") == 0.5
+    an = Analyzer(detector=None, config=cfg)
+    h = w = 64
+    masks = np.stack(
+        [_mask(h, w, 2, 2, 10, 10), _mask(h, w, 30, 30, 40, 40),
+         _mask(h, w, 50, 50, 60, 60)], axis=-1,
+    )
+    # sidelobe at 0.8 (below its 0.9 knee -> dropped), sidelobe at 0.95
+    # (kept), source at 0.6 (above the 0.5 global -> kept)
+    an.extract_det_masks(masks, np.array([1, 1, 2]), np.array([0.8, 0.95, 0.6]))
+    kept = sorted(zip(an.class_ids_final, an.scores_final))
+    assert kept == [(1, pytest.approx(0.95)), (2, pytest.approx(0.6))]
+    # empty override tuple restores the single global threshold
+    cfg2 = detector_config(
+        num_classes=4, class_names=CLASS_NAMES, score_thr=0.5,
+        score_thr_per_class=(),
+    )
+    an2 = Analyzer(detector=None, config=cfg2)
+    an2.extract_det_masks(masks, np.array([1, 1, 2]), np.array([0.8, 0.95, 0.6]))
+    assert len(an2.masks_final) == 3

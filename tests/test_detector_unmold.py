@@ -79,16 +79,14 @@ def test_unmold_drops_padding_and_zero_area(det):
     assert full_masks.shape == (132, 132, 0)
 
 
-def test_prefetch_pipeline():
-    """Threaded prefetch yields the same shapes as the sync iterator."""
-    from caesar_mrcnn_tpu.data.generator import TrainingPipeline
+def _tiny_fits_dataset():
     from caesar_mrcnn_tpu.data.dataset import SourceDataset
     from caesar_mrcnn_tpu.utils import fits as F
-    import tempfile, os
+    import tempfile
 
     tmp = tempfile.mkdtemp()
     ds = SourceDataset()
-    ds.set_class_dict({"source": 2})
+    ds.set_class_dict({"sidelobe": 1, "source": 2, "galaxy": 3})
     rng = np.random.RandomState(0)
     rows = []
     for i in range(2):
@@ -102,7 +100,14 @@ def test_prefetch_pipeline():
         f.write("\n".join(rows))
     ds.load_data_from_list(f"{tmp}/l.dat")
     ds.prepare()
+    return ds
 
+
+def test_prefetch_pipeline():
+    """Threaded prefetch yields the same shapes as the sync iterator."""
+    from caesar_mrcnn_tpu.data.generator import TrainingPipeline
+
+    ds = _tiny_fits_dataset()
     cfg = detector_config(
         image_min_dim=64, image_max_dim=64, num_classes=4,
         class_names=("bkg", "sidelobe", "source", "galaxy"),
@@ -113,5 +118,51 @@ def test_prefetch_pipeline():
     it = pipe.prefetch(device_put=False)
     b1 = next(it)
     b2 = next(it)
-    assert b1["images"].shape == (2, 64, 64, 3)
+    # Default train_wire="compact" + replicated-gray dataset -> mono wire:
+    # images ship one channel; trainer.mold_batch broadcasts back to 3.
+    assert b1["images"].shape == (2, 64, 64, 1)
     assert set(b1) == set(b2)
+
+
+def test_compact_wire_contract():
+    """Pin the compact-wire batch schema explicitly (config.train_wire).
+
+    Any change to the wire format must update this test AND every dense-
+    batch consumer (trainer.mold_batch, bench_train.py, examples/,
+    __graft_entry__.dryrun_multichip)."""
+    import jax.numpy as jnp
+    from caesar_mrcnn_tpu.data.generator import TrainingPipeline
+    from caesar_mrcnn_tpu.train.trainer import mold_batch
+
+    cfg = detector_config(
+        image_min_dim=64, image_max_dim=64, num_classes=4,
+        class_names=("bkg", "sidelobe", "source", "galaxy"),
+        images_per_device=2, rpn_anchor_scales=(8, 16, 32, 64, 128),
+        max_gt_instances=4, use_mini_mask=True, mini_mask_shape=(28, 28),
+    )
+    ds = _tiny_fits_dataset()
+    pipe = TrainingPipeline(ds, cfg, seed=0)
+    batch = next(pipe.batches())
+    budget = cfg.rpn_train_anchors_per_image
+    g = cfg.max_gt_instances
+    expected = {
+        "images": ((2, 64, 64, 1), np.uint8),
+        "image_meta": ((2, cfg.image_meta_size), np.float32),
+        "rpn_pos_idx": ((2, budget // 2), np.int32),
+        "rpn_neg_idx": ((2, budget), np.int32),
+        "rpn_pos_deltas": ((2, budget // 2, 4), np.float32),
+        "gt_class_ids": ((2, g), np.int32),
+        "gt_boxes": ((2, g, 4), np.float32),
+        "gt_masks_packed": ((2, (28 * 28 * g + 7) // 8), np.uint8),
+    }
+    assert set(batch) == set(expected), (set(batch), set(expected))
+    for k, (shape, dtype) in expected.items():
+        assert batch[k].shape == shape, (k, batch[k].shape, shape)
+        assert batch[k].dtype == dtype, (k, batch[k].dtype, dtype)
+    # mold_batch restores the dense training contract on device
+    molded = mold_batch({k: jnp.asarray(v) for k, v in batch.items()}, cfg)
+    assert molded["images"].shape == (2, 64, 64, 3)
+    assert molded["images"].dtype == jnp.float32
+    assert molded["rpn_match"].shape[0] == 2
+    assert molded["rpn_deltas"].shape[-1] == 4
+    assert molded["gt_masks"].shape == (2, 28, 28, g)[:1] + (28, 28, g)

@@ -102,6 +102,23 @@ def test_visualize_display_instances(tmp_path):
     display_instances(image, boxes, masks, np.array([1]),
                       ["bkg", "source"], np.array([0.9]), outfile=out)
     assert os.path.isfile(out)
+    # mask-contour polygon overlay (reference: visualize.py:156-167) draws
+    # at least one Polygon patch; returned ax (no outfile) exposes patches
+    ax = display_instances(image, boxes, masks, np.array([1]),
+                           ["bkg", "source"], np.array([0.9]))
+    import matplotlib.patches as mpatches
+    polys = [p for p in ax.patches if isinstance(p, mpatches.Polygon)]
+    assert len(polys) >= 1
+    # polygon vertices trace the mask border (within the 1px pad)
+    verts = np.concatenate([p.get_xy() for p in polys])
+    assert verts[:, 0].min() >= 9 and verts[:, 0].max() <= 30
+    import matplotlib.pyplot as plt
+    plt.close(ax.figure)
+    ax2 = display_instances(image, boxes, masks, np.array([1]),
+                            ["bkg", "source"], np.array([0.9]),
+                            show_mask_polygon=False)
+    assert not [p for p in ax2.patches if isinstance(p, mpatches.Polygon)]
+    plt.close(ax2.figure)
     out2 = str(tmp_path / "pr.png")
     plot_precision_recall(0.8, np.array([1.0, 0.9, 0.8]), np.array([0.1, 0.5, 1.0]),
                           outfile=out2)

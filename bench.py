@@ -158,7 +158,8 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     # 4-chunk pass that tail was ~1/3 of the measurement; r4's driver
     # capture under-read the pipeline partly for this reason). 1-device
     # default (batch 16): 12x12 tiles = 9 chunks per pass.
-    tiles_per_side = max(12, math.isqrt(max(0, 8 * batch - 1)) + 1)
+    tiles_per_side = int(os.environ.get("BENCH_E2E_TILES_PER_SIDE", "0")) or (
+        max(12, math.isqrt(max(0, 8 * batch - 1)) + 1))
     mosaic_n = tiles_per_side * size
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     path = os.path.join(tmp, "mosaic.fits")
@@ -352,6 +353,11 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         bound = min(ceilings, key=ceilings.get)
         out["e2e_bound"] = bound
         out["e2e_bound_ceiling_img_per_sec"] = ceilings[bound]
+        # perfect pipelining reaches min(ceilings); zero overlap degrades
+        # to the harmonic serial floor — a measured rate inside
+        # [floor, ceiling] is fully attributed
+        out["e2e_serial_floor_img_per_sec"] = round(
+            1.0 / sum(1.0 / v for v in ceilings.values()), 1)
         out["e2e_explained_frac"] = round(
             out["e2e_img_per_sec"] / ceilings[bound], 3)
     return out

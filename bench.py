@@ -169,20 +169,23 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     chunks = [tiles[s : s + batch] for s in range(0, len(tiles), batch)]
 
     prep_cpu = [0.0]  # worker-side host CPU seconds (1-CPU host: this
-    # contends with dispatch/unmold on the main thread — see host ceiling)
+    # contends with dispatch/unmold on the main thread — see host ceiling).
+    # time.thread_time() (per-thread CPU clock) NOT perf_counter: with 4
+    # workers on 1 CPU, per-thread wall time counts GIL/CPU waits 4x over
+    # (first capture summed 5.2 s of "prep" inside a 2.0 s pass).
 
     def prep_u8(tile):
         x1, x2, y1, y2 = tile
-        t = time.perf_counter()
+        t = time.thread_time()
         out = F.read_tile_u8(path, x1, x2, y1, y2)
-        prep_cpu[0] += time.perf_counter() - t
+        prep_cpu[0] += time.thread_time() - t
         return out
 
     def prep_raw(tile):
         x1, x2, y1, y2 = tile
-        t = time.perf_counter()
+        t = time.thread_time()
         out = F.read_tile_raw(path, x1, x2, y1, y2)
-        prep_cpu[0] += time.perf_counter() - t
+        prep_cpu[0] += time.thread_time() - t
         return out
 
     def dispatch_u8(payloads):
@@ -206,8 +209,9 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         1-CPU host it contends with every other host stage)."""
         n_done = 0
         stages = {"prep_wait": 0.0, "dispatch": 0.0, "fetch": 0.0,
-                  "unmold": 0.0, "prep_cpu": 0.0}
+                  "unmold": 0.0, "prep_cpu": 0.0, "main_cpu": 0.0}
         prep_cpu[0] = 0.0
+        main_cpu0 = time.thread_time()
         # producer: each chunk's tiles are prepped in the pool; chunk
         # futures are consumed in order while later chunks prep in the
         # background (the sfinder producer-thread pattern, widened).
@@ -248,6 +252,9 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         while pending:
             collect_one()
         stages["prep_cpu"] = prep_cpu[0]
+        # main-thread CPU seconds (dispatch stacking/serialization +
+        # unmold + loop overhead; excludes blocked fetch/prep waits)
+        stages["main_cpu"] = time.thread_time() - main_cpu0
         return n_done, stages
 
     out = {"e2e_tiles": len(tiles), "e2e_mosaic": mosaic_n,
@@ -301,11 +308,11 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
             }
             # ---- self-explanation (VERDICT r4 item 1): which ceiling binds
             # host ceiling: total host CPU seconds in the best pass (worker
-            # prep + dispatch + unmold — on a 1-CPU host these serialize
-            # with each other AND with the tunnel client's serialization
-            # thread; ncpus is reported so multi-CPU hosts can be read
-            # correctly).
-            host_sec = st["prep_cpu"] + st["dispatch"] + st["unmold"]
+            # prep + main-thread CPU, both from per-thread CPU clocks — on
+            # a 1-CPU host these serialize with each other AND with the
+            # tunnel client's serialization thread; ncpus is reported so
+            # multi-CPU hosts can be read correctly).
+            host_sec = st["prep_cpu"] + st["main_cpu"]
             out[f"e2e_{name}_host_ceiling_img_per_sec"] = round(
                 n / host_sec, 1) if host_sec > 0 else None
             pass_sec = n / rates[best]
@@ -343,9 +350,18 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
     default = det.config.tile_wire if det.config.tile_wire in modes else "u8"
     out["e2e_img_per_sec"] = out[f"e2e_{default}_img_per_sec"]
     # binding ceiling for the default wire + explained fraction
+    inrun = out.get(f"e2e_{default}_inrun_channel_MBps")
     ceilings = {
         "host_cpu": out.get(f"e2e_{default}_host_ceiling_img_per_sec"),
         "channel": out.get(f"e2e_{default}_channel_ceiling_img_per_sec"),
+        # the channel as it actually ran DURING the pass (tunnel client
+        # serialization contends with producer/unmold host CPU): on the
+        # 1-CPU dev host this runs at ~half the idle-probe bandwidth and
+        # is the true binding resource (r5: 27.5 vs 55 MB/s)
+        "channel_inrun": (
+            round(inrun * 1e6
+                  / (size * size * wire_bytes_per_px.get(default, 1)), 1)
+            if inrun else None),
         "device": out.get("e2e_device_ceiling_img_per_sec"),
     }
     ceilings = {k: v for k, v in ceilings.items() if v}
@@ -354,10 +370,13 @@ def measure_e2e(det, batch: int, size: int, workers: int = 4) -> dict:
         out["e2e_bound"] = bound
         out["e2e_bound_ceiling_img_per_sec"] = ceilings[bound]
         # perfect pipelining reaches min(ceilings); zero overlap degrades
-        # to the harmonic serial floor — a measured rate inside
+        # to the harmonic serial floor over the three INDEPENDENT
+        # resources (channel_inrun overlaps device wait, so it is a bound
+        # candidate but not a floor term) — a measured rate inside
         # [floor, ceiling] is fully attributed
         out["e2e_serial_floor_img_per_sec"] = round(
-            1.0 / sum(1.0 / v for v in ceilings.values()), 1)
+            1.0 / sum(1.0 / v for k, v in ceilings.items()
+                      if k != "channel_inrun"), 1)
         out["e2e_explained_frac"] = round(
             out["e2e_img_per_sec"] / ceilings[bound], 3)
     return out
@@ -446,7 +465,14 @@ def main() -> None:
         # per-transfer latency (measured u8 e2e: b8 50.5, b16 77.0,
         # b32 68.1 img/s); the device graph alone is fastest at batch 8.
         det16 = build_detector(16, size, n_devices=ndev, quant="none")
-        e2e = measure_e2e(det16, 16 * ndev, size)
+        # workers=2 default: measured on the 1-CPU dev host (r5 sweep)
+        # u8 e2e w2 = 92.6 img/s steady [86..93] vs w4 = 87.2 [74..87] —
+        # fewer producer threads cut GIL/CPU thrash against the tunnel
+        # client's serialization thread. Bigger hosts: raise via env.
+        e2e = measure_e2e(
+            det16, 16 * ndev, size,
+            workers=int(os.environ.get("BENCH_E2E_WORKERS", "2")),
+        )
     baseline = 50.0  # BASELINE.md: defined at the 512^2 batch-8 shape only
     rec = {
         "metric": (

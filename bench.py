@@ -45,7 +45,7 @@ def n_bench_devices() -> int:
 
 
 def build_detector(batch: int, size: int, n_devices: int = 1,
-                   quant: str = "none"):
+                   quant: str = "none", trim: "bool | None" = None):
     import jax
 
     # Persistent XLA compile cache: the detect graph takes ~3.5 min to
@@ -57,6 +57,13 @@ def build_detector(batch: int, size: int, n_devices: int = 1,
     from caesar_mrcnn_tpu.inference.detector import build_detector as bd
     from caesar_mrcnn_tpu.models.mask_rcnn import init_model
 
+    # Serving proposal budget (VERDICT r4 item 3): pre_nms 3000 /
+    # post_nms_inference 512 measured +28% device throughput (234.7 ->
+    # 300.3 img/s int8). Off by default until the QUALITY_r05 stage-F
+    # mAP A/B gates it; BENCH_TRIM=1 enables.
+    if trim is None:
+        trim = os.environ.get("BENCH_TRIM", "0") == "1"
+    extra = dict(pre_nms_limit=3000, post_nms_rois_inference=512) if trim else {}
     cfg = detector_config(
         num_classes=4,
         class_names=("bkg", "sidelobe", "source", "galaxy"),
@@ -66,6 +73,7 @@ def build_detector(batch: int, size: int, n_devices: int = 1,
         num_devices=n_devices,
         compute_dtype="bfloat16",
         quant_mode=quant,
+        **extra,
     )
     return bd(cfg)  # auto-shards over a local mesh when n_devices > 1
 

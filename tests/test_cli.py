@@ -138,3 +138,25 @@ def test_draw_img_cli(tmp_path, ref_data_dir):
     rc = draw_img.main(["--image", f"{ref_data_dir}/galaxy0002.fits", "--outfile", out])
     assert rc == 0
     assert os.path.isfile(out)
+
+
+def test_score_thr_per_class_flag():
+    """--scoreThrPerClass parse + default (sidelobe knee) + 'none' reset."""
+    cfg = cli.build_config(cli.parse_args(["train", "--datalist", "x.dat"]))
+    assert cfg.score_thr_per_class == (("sidelobe", 0.9),)  # product default
+    cfg = cli.build_config(cli.parse_args(
+        ["train", "--datalist", "x.dat",
+         "--scoreThrPerClass", "sidelobe=0.85,galaxy=0.95"]
+    ))
+    assert cfg.score_thr_per_class == (("sidelobe", 0.85), ("galaxy", 0.95))
+    assert cfg.class_score_thr("galaxy") == 0.95
+    assert cfg.class_score_thr("source") == cfg.score_thr
+    cfg = cli.build_config(cli.parse_args(
+        ["train", "--datalist", "x.dat", "--scoreThrPerClass", "none"]
+    ))
+    assert cfg.score_thr_per_class == ()
+    import pytest
+    with pytest.raises(SystemExit):
+        cli.build_config(cli.parse_args(
+            ["train", "--datalist", "x.dat", "--scoreThrPerClass", "oops"]
+        ))

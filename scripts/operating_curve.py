@@ -115,6 +115,11 @@ def main() -> None:
         knee = max(crows, key=lambda r: r["f1"])
         summary["classes"][cls]["knee"] = knee
     summary["csv"] = csv_path
+    # ready-to-paste product knob (config.score_thr_per_class / CLI
+    # --scoreThrPerClass): each class at its F1 knee
+    summary["recommended_score_thr_per_class"] = ",".join(
+        f"{c}={summary['classes'][c]['knee']['threshold']}" for c in classes
+    )
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

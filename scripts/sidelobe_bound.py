@@ -43,7 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--datalist", required=True)
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default="",
+                   help="checkpoint path (empty = random init, smoke only)")
     p.add_argument("--out", default="")
     p.add_argument("--imgsize", type=int, default=512)
     p.add_argument("--batch", type=int, default=8)
@@ -71,7 +72,7 @@ def main() -> None:
     from caesar_mrcnn_tpu.utils import boxes as B
     from caesar_mrcnn_tpu.utils.anchors import get_anchors
 
-    cfg = inference_config(detector_config(
+    cfg = inference_config(images_per_device=args.batch, cfg=detector_config(
         num_classes=4,
         class_names=("bkg", "sidelobe", "source", "galaxy"),
         image_min_dim=args.imgsize,
@@ -88,7 +89,7 @@ def main() -> None:
     assert ds.load_data_from_json_list(args.datalist, args.max_imgs) == 0
     ds.prepare()
 
-    det = build_detector(cfg, weights_path=args.weights)
+    det = build_detector(cfg, weights_path=args.weights or None)
     model = det.model
     R = args.oracle_rois
     h, w, _c = cfg.image_shape

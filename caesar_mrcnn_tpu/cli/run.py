@@ -96,9 +96,18 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--train_rois_per_image", type=int, default=512)
     parser.add_argument("--rpn_anchor_ratios", type=str, default="0.5,1,2")
     # capacity knobs (defaults = reference values; lower for small images)
-    parser.add_argument("--pre_nms_limit", type=int, default=6000)
+    parser.add_argument(
+        "--serving", action="store_true", default=False,
+        help="measured serving preset for test/detect: int8 detect graph "
+        "+ proposal budget pre_nms 3000 / post_nms_inference 512 — both "
+        "quality-neutral by full mAP A/Bs (QUALITY_r04 int8, QUALITY_r05 "
+        "trim) and +43%% device throughput combined (v5e: 211.6 bf16 -> "
+        "303.0 img/s). Explicit --quant_mode/--pre_nms_limit/"
+        "--post_nms_rois_inference flags override the preset.",
+    )
+    parser.add_argument("--pre_nms_limit", type=int, default=None)
     parser.add_argument("--post_nms_rois_training", type=int, default=2000)
-    parser.add_argument("--post_nms_rois_inference", type=int, default=1000)
+    parser.add_argument("--post_nms_rois_inference", type=int, default=None)
     parser.add_argument("--detection_max_instances", type=int, default=100)
     parser.add_argument("--use_mini_mask", action="store_true", default=False)
     parser.add_argument("--rpn_class_loss_weight", type=float, default=1.0)
@@ -115,7 +124,7 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--roi_gather_dtype", type=str, default="none",
                         help="inference ROIAlign gather buffer dtype; "
                              "'float8_e4m3fn' halves the gather bytes")
-    parser.add_argument("--quant_mode", type=str, default="none",
+    parser.add_argument("--quant_mode", type=str, default=None,
                         choices=["none", "int8"],
                         help="post-training quantization of the detect "
                              "graph: 'int8' runs the conv stages on the "
@@ -256,9 +265,17 @@ def build_config(args) -> Config:
         rpn_train_anchors_per_image=args.rpn_train_anchors_per_image,
         train_rois_per_image=args.train_rois_per_image,
         max_gt_instances=args.max_gt_instances,
-        pre_nms_limit=args.pre_nms_limit,
+        # --serving preset (measured, quality-gated) supplies the defaults
+        # for the serving-side knobs; explicit flags always win
+        pre_nms_limit=(
+            args.pre_nms_limit
+            if args.pre_nms_limit is not None
+            else (3000 if args.serving else 6000)),
         post_nms_rois_training=args.post_nms_rois_training,
-        post_nms_rois_inference=args.post_nms_rois_inference,
+        post_nms_rois_inference=(
+            args.post_nms_rois_inference
+            if args.post_nms_rois_inference is not None
+            else (512 if args.serving else 1000)),
         detection_max_instances=args.detection_max_instances,
         use_mini_mask=args.use_mini_mask,
         image_channel_count=1 if args.grayimg else 3,
@@ -267,7 +284,10 @@ def build_config(args) -> Config:
         grad_accum_steps=args.grad_accum_steps,
         learning_rate=args.learning_rate,
         roi_gather_dtype=args.roi_gather_dtype,
-        quant_mode=args.quant_mode,
+        quant_mode=(
+            args.quant_mode
+            if args.quant_mode is not None
+            else ("int8" if args.serving else "none")),
         train_wire=args.train_wire,
         mask_loss_function=args.mask_loss_function,
         loss_weights={

@@ -160,3 +160,20 @@ def test_score_thr_per_class_flag():
         cli.build_config(cli.parse_args(
             ["train", "--datalist", "x.dat", "--scoreThrPerClass", "oops"]
         ))
+
+
+def test_serving_preset():
+    """--serving applies the measured quality-gated serving defaults;
+    explicit flags override the preset."""
+    cfg = cli.build_config(cli.parse_args(["detect", "--image", "x.fits"]))
+    assert (cfg.pre_nms_limit, cfg.post_nms_rois_inference, cfg.quant_mode) \
+        == (6000, 1000, "none")  # reference defaults without the preset
+    cfg = cli.build_config(cli.parse_args(
+        ["detect", "--image", "x.fits", "--serving"]))
+    assert (cfg.pre_nms_limit, cfg.post_nms_rois_inference, cfg.quant_mode) \
+        == (3000, 512, "int8")
+    cfg = cli.build_config(cli.parse_args(
+        ["detect", "--image", "x.fits", "--serving",
+         "--pre_nms_limit", "4000", "--quant_mode", "none"]))
+    assert (cfg.pre_nms_limit, cfg.post_nms_rois_inference, cfg.quant_mode) \
+        == (4000, 512, "none")

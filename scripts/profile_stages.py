@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--repeat", type=int, default=20)
     p.add_argument("--rpn-fused", action="store_true",
                    help="A/B: fused RPN 1x1 heads (config.rpn_fused_heads)")
+    p.add_argument("--pre-nms", type=int, default=6000)
+    p.add_argument("--post-nms", type=int, default=1000,
+                   help="serving trim: --pre-nms 3000 --post-nms 512")
     args = p.parse_args()
 
     import jax
@@ -66,6 +69,8 @@ def main() -> None:
         num_devices=1,
         compute_dtype="bfloat16",
         rpn_fused_heads=args.rpn_fused,
+        pre_nms_limit=args.pre_nms,
+        post_nms_rois_inference=args.post_nms,
     )
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     b = args.batch
